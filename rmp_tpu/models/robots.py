@@ -1,0 +1,48 @@
+"""Robot model constructors + per-robot constants.
+
+Capability parity with the reference's robot classes (simulation.py:83-197):
+ready poses, joint limits, URDF-equivalent kinematic/dynamic structure. The
+models are built from numeric spec tables (models/specs.py); use
+`rmp_tpu.models.urdf.parse_urdf` to load arbitrary external URDFs, and
+`rmp_tpu.models.specs.write_urdf` to export these robots as URDF files.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from rmp_tpu.models.specs import PANDA_SPEC, TWO_JOINT_SPEC, build_model
+from rmp_tpu.models.urdf import KinematicModel
+
+# ready pose / limits: reference simulation.py:84-86 (TwoJointRobot) and
+# simulation.py:137-139 (FrankaPanda; limits there are in pybullet's 12-joint
+# indexing — ours are motor-ordered 9-vectors, same values).
+TWO_JOINT_Q_READY = np.array([0.0, 0.0], dtype=np.float32)
+TWO_JOINT_Q_LIM_LOW = np.array([-np.pi, -np.pi], dtype=np.float32)
+TWO_JOINT_Q_LIM_HIGH = np.array([np.pi, np.pi], dtype=np.float32)
+
+PANDA_Q_READY = np.array(
+    [0.0, -0.3, 0.0, -2.2, 0.0, 2.0, np.pi / 4, 0.02, 0.02], dtype=np.float32)
+PANDA_Q_LIM_LOW = np.array(
+    [-2.9671, -1.8326, -2.9671, -3.1416, -2.9671, -0.0873, -2.9671, 0.0, 0.0],
+    dtype=np.float32)
+PANDA_Q_LIM_HIGH = np.array(
+    [2.9671, 1.8326, 2.9671, 0.0, 2.9671, 3.8223, 2.9671, 0.04, 0.04],
+    dtype=np.float32)
+
+TWO_JOINT_EE_FRAME = "link_23"
+PANDA_EE_FRAME = "panda_grasptarget_hand"
+
+
+@functools.lru_cache(maxsize=None)
+def two_joint_robot() -> KinematicModel:
+    """Planar 2-DOF arm (2 revolute + fixed EE frame 'link_23')."""
+    return build_model(TWO_JOINT_SPEC)
+
+
+@functools.lru_cache(maxsize=None)
+def franka_panda() -> KinematicModel:
+    """9-DOF Franka Panda (7 revolute + 2 prismatic fingers), EE frame
+    'panda_grasptarget_hand'."""
+    return build_model(PANDA_SPEC)

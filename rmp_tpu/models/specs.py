@@ -1,0 +1,276 @@
+"""Robot specifications as plain data + URDF emission.
+
+The two demo robots are defined as numeric tables (the numbers are physical
+constants of the robots described by the reference's URDF assets,
+urdf/TwoJointRobot_wo_fixedJoints.urdf and urdf/franka_panda/panda.urdf).
+`build_model` constructs a KinematicModel directly; `write_urdf` serializes a
+spec to a URDF file so the generic parser path (models/urdf.py) is exercised
+and users can export/import robots.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from rmp_tpu.models.urdf import (_JOINT_TYPES, FIXED, ROOT, CollisionPrimitive,
+                                 KinematicModel, _hom, _rpy_matrix)
+
+
+@dataclasses.dataclass(frozen=True)
+class LinkSpec:
+    name: str
+    mass: float = 0.0
+    com: tuple = (0.0, 0.0, 0.0)
+    # (ixx, iyy, izz, ixy, ixz, iyz) about com, link axes
+    inertia: tuple = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    collision: tuple = ()          # CollisionPrimitive tuple ('' = none)
+
+
+@dataclasses.dataclass(frozen=True)
+class JointSpec:
+    name: str
+    joint_type: str                # 'revolute' | 'prismatic' | 'fixed'
+    parent: str
+    child: str
+    xyz: tuple = (0.0, 0.0, 0.0)
+    rpy: tuple = (0.0, 0.0, 0.0)
+    axis: tuple = (0.0, 0.0, 0.0)
+    lower: float = -1e9
+    upper: float = 1e9
+    velocity: float = 1e9
+    effort: float = 1e9
+    damping: float = 0.0
+    friction: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotSpec:
+    name: str
+    links: tuple
+    joints: tuple
+
+
+def build_model(spec: RobotSpec) -> KinematicModel:
+    """Construct a KinematicModel from a RobotSpec (BFS joint order)."""
+    links = {l.name: l for l in spec.links}
+    child_names = {j.child for j in spec.joints}
+    root_link = next(l.name for l in spec.links if l.name not in child_names)
+
+    order: list[JointSpec] = []
+    todo = [root_link]
+    while todo:
+        ln = todo.pop(0)
+        for j in spec.joints:
+            if j.parent == ln:
+                order.append(j)
+                todo.append(j.child)
+
+    link_to_frame = {root_link: ROOT}
+    frames, parents = [], []
+    for j in order:
+        frames.append(j)
+        parents.append(link_to_frame[j.parent])
+        link_to_frame[j.child] = len(frames) - 1
+
+    motor = tuple(j.name for j in order if j.joint_type != "fixed")
+    q_index = tuple(
+        motor.index(j.name) if j.joint_type != "fixed" else -1 for j in order)
+
+    def _inertia_mat(t):
+        ixx, iyy, izz, ixy, ixz, iyz = t
+        return np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
+
+    motor_specs = {j.name: j for j in order}
+    return KinematicModel(
+        name=spec.name,
+        frame_names=tuple(j.name for j in order),
+        link_names=tuple(j.child for j in order),
+        parent=tuple(parents),
+        joint_type=tuple(_JOINT_TYPES[j.joint_type] for j in order),
+        q_index=q_index,
+        motor_names=motor,
+        T_constant=np.asarray(
+            [_hom(_rpy_matrix(np.array(j.rpy)), np.array(j.xyz)) for j in order],
+            dtype=np.float32),
+        axis=np.asarray([j.axis for j in order], dtype=np.float32),
+        mass=np.asarray([links[j.child].mass for j in order], dtype=np.float32),
+        com=np.asarray([links[j.child].com for j in order], dtype=np.float32),
+        inertia=np.asarray(
+            [_inertia_mat(links[j.child].inertia) for j in order],
+            dtype=np.float32),
+        q_lower=np.asarray([motor_specs[n].lower for n in motor], dtype=np.float32),
+        q_upper=np.asarray([motor_specs[n].upper for n in motor], dtype=np.float32),
+        velocity_limit=np.asarray([motor_specs[n].velocity for n in motor], dtype=np.float32),
+        effort_limit=np.asarray([motor_specs[n].effort for n in motor], dtype=np.float32),
+        joint_damping=np.asarray([motor_specs[n].damping for n in motor], dtype=np.float32),
+        joint_friction=np.asarray([motor_specs[n].friction for n in motor], dtype=np.float32),
+        has_collision=tuple(bool(links[j.child].collision) for j in order),
+        collision=tuple(tuple(links[j.child].collision) for j in order),
+    )
+
+
+def write_urdf(spec: RobotSpec, filepath: str) -> None:
+    """Serialize a RobotSpec to URDF (round-trips through models/urdf.py)."""
+    out = [f'<?xml version="1.0"?>', f'<robot name="{spec.name}">']
+    for l in spec.links:
+        out.append(f'  <link name="{l.name}">')
+        ixx, iyy, izz, ixy, ixz, iyz = l.inertia
+        out.append("    <inertial>")
+        out.append(f'      <origin xyz="{l.com[0]} {l.com[1]} {l.com[2]}" rpy="0 0 0"/>')
+        out.append(f'      <mass value="{l.mass}"/>')
+        out.append(f'      <inertia ixx="{ixx}" iyy="{iyy}" izz="{izz}" '
+                   f'ixy="{ixy}" ixz="{ixz}" iyz="{iyz}"/>')
+        out.append("    </inertial>")
+        for c in l.collision:
+            out.append("    <collision>")
+            if c.kind == "sphere":
+                out.append(f'      <origin xyz="{c.p0[0]} {c.p0[1]} {c.p0[2]}" rpy="0 0 0"/>')
+                out.append(f'      <geometry><sphere radius="{c.radius}"/></geometry>')
+            else:
+                p0, p1 = np.array(c.p0), np.array(c.p1)
+                mid = (p0 + p1) / 2
+                d = p1 - p0
+                length = float(np.linalg.norm(d))
+                # emit as cylinder along z rotated to d (rpy about x/y only)
+                if length > 0:
+                    dn = d / length
+                    pitch = float(np.arcsin(np.clip(dn[0], -1, 1)))
+                    roll = float(np.arctan2(-dn[1], dn[2]))
+                else:
+                    roll = pitch = 0.0
+                out.append(f'      <origin xyz="{mid[0]} {mid[1]} {mid[2]}" '
+                           f'rpy="{roll} {pitch} 0"/>')
+                out.append(f'      <geometry><cylinder radius="{c.radius}" '
+                           f'length="{length}"/></geometry>')
+            out.append("    </collision>")
+        out.append("  </link>")
+    for j in spec.joints:
+        out.append(f'  <joint name="{j.name}" type="{j.joint_type}">')
+        out.append(f'    <origin xyz="{j.xyz[0]} {j.xyz[1]} {j.xyz[2]}" '
+                   f'rpy="{j.rpy[0]} {j.rpy[1]} {j.rpy[2]}"/>')
+        out.append(f'    <parent link="{j.parent}"/>')
+        out.append(f'    <child link="{j.child}"/>')
+        if j.joint_type != "fixed":
+            out.append(f'    <axis xyz="{j.axis[0]} {j.axis[1]} {j.axis[2]}"/>')
+            out.append(f'    <limit lower="{j.lower}" upper="{j.upper}" '
+                       f'velocity="{j.velocity}" effort="{j.effort}"/>')
+            out.append(f'    <dynamics damping="{j.damping}" friction="{j.friction}"/>')
+        out.append("  </joint>")
+    out.append("</robot>")
+    with open(filepath, "w") as f:
+        f.write("\n".join(out) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Planar 2-DOF arm (reference asset: urdf/TwoJointRobot_wo_fixedJoints.urdf)
+# ---------------------------------------------------------------------------
+
+_BOX_I = (0.00208333333333, 0.167083333333, 0.168333333333,
+          0.0125, 0.00625, 0.000625)
+_CYL_I = (0.000322916666667, 0.000322916666667, 0.0005625, 0.0, 0.0, 0.0)
+
+TWO_JOINT_SPEC = RobotSpec(
+    name="TwoJointRobot",
+    links=(
+        LinkSpec("base_link", 0.2, (0, 0, 0), _CYL_I,
+                 (CollisionPrimitive("capsule", (0, 0, 0.025), (0, 0, 0.025), 0.075),)),
+        LinkSpec("link_1", 0.5, (0, 0, 0), _BOX_I,
+                 (CollisionPrimitive("capsule", (0.05, 0, 0), (0.95, 0, 0), 0.05),)),
+        LinkSpec("link_2", 0.5, (0, 0, 0), _BOX_I,
+                 (CollisionPrimitive("capsule", (0.05, 0, 0), (0.95, 0, 0), 0.05),)),
+        LinkSpec("link_23_cyl", 0.2, (0, 0, 0), _CYL_I,
+                 (CollisionPrimitive("sphere", (0, 0, 0), (0, 0, 0), 0.075),)),
+    ),
+    joints=(
+        JointSpec("joint_1", "revolute", "base_link", "link_1",
+                  xyz=(0, 0, 0.075), axis=(0, 0, 1),
+                  lower=-3.14, upper=3.14, velocity=5, effort=10000),
+        JointSpec("joint_2", "revolute", "link_1", "link_2",
+                  xyz=(1.0, 0.0, 0.05), axis=(0, 0, 1),
+                  lower=-3.14, upper=3.14, velocity=5, effort=10000),
+        JointSpec("link_23", "fixed", "link_2", "link_23_cyl",
+                  xyz=(1.0, 0, 0)),
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Franka Panda (reference asset: urdf/franka_panda/panda.urdf)
+# ---------------------------------------------------------------------------
+
+_DIAG01 = (0.1, 0.1, 0.1, 0.0, 0.0, 0.0)
+# capsule approximations of the collision meshes (see models/robots.py docs)
+_PANDA_CAPS = {
+    "panda_link1": CollisionPrimitive("capsule", (0, 0, -0.192), (0, 0, 0.0), 0.09),
+    "panda_link2": CollisionPrimitive("capsule", (0, 0, 0), (0, -0.19, 0), 0.09),
+    "panda_link3": CollisionPrimitive("capsule", (0, 0, -0.12), (0, 0, 0.0), 0.09),
+    "panda_link4": CollisionPrimitive("capsule", (0, 0, 0), (-0.08, 0.11, 0), 0.09),
+    "panda_link5": CollisionPrimitive("capsule", (0, 0, -0.26), (0, 0.08, -0.08), 0.09),
+    "panda_link6": CollisionPrimitive("capsule", (0, 0, -0.03), (0.088, 0, 0), 0.08),
+    "panda_link7": CollisionPrimitive("capsule", (0, 0, 0.01), (0, 0, 0.09), 0.07),
+    "panda_hand": CollisionPrimitive("capsule", (0, -0.04, 0.05), (0, 0.04, 0.05), 0.05),
+    "panda_leftfinger": CollisionPrimitive("capsule", (0, 0.005, 0.015), (0, 0.01, 0.045), 0.012),
+    "panda_rightfinger": CollisionPrimitive("capsule", (0, -0.005, 0.015), (0, -0.01, 0.045), 0.012),
+}
+
+
+def _plink(name, mass, com):
+    cap = _PANDA_CAPS.get(name)
+    return LinkSpec(name, mass, com, _DIAG01, (cap,) if cap else ())
+
+
+_HALF_PI = 1.57079632679
+
+PANDA_SPEC = RobotSpec(
+    name="panda",
+    links=(
+        _plink("panda_link0", 2.9, (0, 0, 0.5)),
+        _plink("panda_link1", 2.7, (0, -0.04, -0.05)),
+        _plink("panda_link2", 2.73, (0, -0.04, 0.06)),
+        _plink("panda_link3", 2.04, (0.01, 0.01, -0.05)),
+        _plink("panda_link4", 2.08, (-0.03, 0.03, 0.02)),
+        _plink("panda_link5", 3.0, (0, 0.04, -0.12)),
+        _plink("panda_link6", 1.3, (0.04, 0, 0)),
+        _plink("panda_link7", 0.2, (0, 0, 0.08)),
+        _plink("panda_link8", 0.0, (0, 0, 0)),
+        _plink("panda_hand", 0.81, (0, 0, 0.04)),
+        _plink("panda_leftfinger", 0.1, (0, 0.01, 0.02)),
+        _plink("panda_rightfinger", 0.1, (0, -0.01, 0.02)),
+        _plink("panda_grasptarget", 0.0, (0, 0, 0)),
+    ),
+    joints=(
+        JointSpec("panda_joint1", "revolute", "panda_link0", "panda_link1",
+                  xyz=(0, 0, 0.333), axis=(0, 0, 1),
+                  lower=-2.9671, upper=2.9671, velocity=2.175, effort=87),
+        JointSpec("panda_joint2", "revolute", "panda_link1", "panda_link2",
+                  rpy=(-_HALF_PI, 0, 0), axis=(0, 0, 1),
+                  lower=-1.8326, upper=1.8326, velocity=2.175, effort=87),
+        JointSpec("panda_joint3", "revolute", "panda_link2", "panda_link3",
+                  xyz=(0, -0.316, 0), rpy=(_HALF_PI, 0, 0), axis=(0, 0, 1),
+                  lower=-2.9671, upper=2.9671, velocity=2.175, effort=87),
+        JointSpec("panda_joint4", "revolute", "panda_link3", "panda_link4",
+                  xyz=(0.0825, 0, 0), rpy=(_HALF_PI, 0, 0), axis=(0, 0, 1),
+                  lower=-3.1416, upper=0.0, velocity=2.175, effort=87),
+        JointSpec("panda_joint5", "revolute", "panda_link4", "panda_link5",
+                  xyz=(-0.0825, 0.384, 0), rpy=(-_HALF_PI, 0, 0), axis=(0, 0, 1),
+                  lower=-2.9671, upper=2.9671, velocity=2.61, effort=12),
+        JointSpec("panda_joint6", "revolute", "panda_link5", "panda_link6",
+                  rpy=(_HALF_PI, 0, 0), axis=(0, 0, 1),
+                  lower=-0.0873, upper=3.8223, velocity=2.61, effort=12),
+        JointSpec("panda_joint7", "revolute", "panda_link6", "panda_link7",
+                  xyz=(0.088, 0, 0), rpy=(_HALF_PI, 0, 0), axis=(0, 0, 1),
+                  lower=-2.9671, upper=2.9671, velocity=2.61, effort=12),
+        JointSpec("panda_joint8", "fixed", "panda_link7", "panda_link8",
+                  xyz=(0, 0, 0.107)),
+        JointSpec("panda_hand_joint", "fixed", "panda_link8", "panda_hand",
+                  rpy=(0, 0, -0.785398163397)),
+        JointSpec("panda_finger_joint1", "prismatic", "panda_hand", "panda_leftfinger",
+                  xyz=(0, 0, 0.0584), axis=(0, 1, 0),
+                  lower=0.0, upper=0.04, velocity=0.2, effort=20),
+        JointSpec("panda_finger_joint2", "prismatic", "panda_hand", "panda_rightfinger",
+                  xyz=(0, 0, 0.0584), axis=(0, -1, 0),
+                  lower=0.0, upper=0.04, velocity=0.2, effort=20),
+        JointSpec("panda_grasptarget_hand", "fixed", "panda_hand", "panda_grasptarget",
+                  xyz=(0, 0, 0.105)),
+    ),
+)

@@ -1,0 +1,17 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Real-TPU execution is covered by bench.py and __graft_entry__.py; unit tests
+use the CPU backend for speed/determinism, with 8 virtual devices so
+sharding/`shard_map` paths are exercised without a TPU slice (SURVEY.md §4).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell env pins 'axon' (TPU)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
