@@ -1,0 +1,159 @@
+"""Taskmap algebra — composable differentiable maps from configuration space.
+
+A taskmap here is a *pure function* ``fn(v, ctx) -> x`` where the first map in
+a chain receives ``q`` (n_q,) and every map outputs a row-batched task-space
+array ``x: (P, d)`` (P = number of parallel instances, e.g. obstacle pairs;
+P = 1 for simple maps).  ``ctx`` is the policy's per-tick context pytree
+(obstacle points, relative offsets, ...), replacing the reference's mutable
+``tf.Variable`` closures (data_management.py:8-17) with functional inputs —
+no retracing, static shapes.
+
+Chaining is plain function composition: JAX's jvp/jacfwd differentiates the
+composite directly, so the reference's hand-written chain rule
+(taskmap.py:142-168: J = J2 J1, c = c2 + J2 c1) disappears — it is recovered
+exactly by autodiff.  Derivatives (x, ẋ, J, c) of a chained map are produced
+by ``rmp_tpu.models.kinematics.differentiate`` (and in the combine engine all
+policies share a single stacked jacfwd, core.py).
+
+Capability parity with reference taskmap.py:6-168:
+  identity                 <-> IdentityTaskmap           (taskmap.py:13-20)
+  fk_frame                 <-> TaskmapByForwardKinematic (taskmap.py:22-31)
+  from_function            <-> TaskmapByFunction         (taskmap.py:33-42)
+  to_position              <-> TaskmapFrom4x4ToPosition  (taskmap.py:45-54)
+  to_euler                 <-> TaskmapFrom4x4ToEuler     (taskmap.py:57-67)
+  to_quaternion            <-> TaskmapFrom4x4ToQuaternions (taskmap.py:70-77,
+                               a NotImplementedError stub there — implemented
+                               here)
+  relative_offsets         <-> TaskmapRelative4x4        (taskmap.py:79-99)
+  frame_to_point_distance  <-> TaskmapJointFrame4x4ToDistance
+                               (taskmap.py:115-138, incl. the stop_gradient
+                               frozen-offset trick at taskmap.py:126)
+  chain                    <-> chain_taskmaps            (taskmap.py:142-168)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rmp_tpu.models import kinematics
+from rmp_tpu.models.urdf import KinematicModel
+from rmp_tpu.ops import geom
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Constructors. Each returns fn(v, ctx) -> (P, d).
+# ---------------------------------------------------------------------------
+
+
+def identity():
+    """q -> q, as a (1, n_q) row."""
+    def fn(q, ctx):
+        del ctx
+        return q[None, :]
+    return fn
+
+
+def fk_frame(model: KinematicModel, frame: str | int):
+    """q -> flattened world 4x4 of `frame`: (1, 16)."""
+    idx = model.frame_index(frame) if isinstance(frame, str) else frame
+
+    def fn(q, ctx):
+        del ctx
+        return kinematics.fk_frame(model, q, idx).reshape(1, 16)
+    return fn
+
+
+def from_function(forward_fn):
+    """Wrap an arbitrary (v, ctx) -> (P, d) map."""
+    return forward_fn
+
+
+def to_position():
+    """(P, 16) flattened 4x4 -> (P, 3) translation."""
+    def fn(x, ctx):
+        del ctx
+        return x.reshape(-1, 4, 4)[:, :3, 3]
+    return fn
+
+
+def to_euler():
+    """(P, 16) flattened 4x4 -> (P, 3) extrinsic-XYZ euler angles."""
+    def fn(x, ctx):
+        del ctx
+        return geom.euler_from_rotation_matrix(x.reshape(-1, 4, 4)[:, :3, :3])
+    return fn
+
+
+def to_quaternion():
+    """(P, 16) flattened 4x4 -> (P, 4) quaternion (x, y, z, w).
+
+    The reference stubbed this map (taskmap.py:70-77); implemented here via
+    the branch-free Shepperd conversion (jit/vjp-safe away from the w=0
+    surface).
+    """
+    def fn(x, ctx):
+        del ctx
+        return geom.quaternion_from_rotation_matrix(x.reshape(-1, 4, 4)[:, :3, :3])
+    return fn
+
+
+def relative_offsets(ctx_field: str = "relative_position"):
+    """(1, 16) frame 4x4 -> (P, 16): frame composed with P pure-translation
+    offsets taken from ctx[ctx_field] (P, 3) (expressed in the frame).
+
+    Reference TaskmapRelative4x4 (taskmap.py:79-99).
+    """
+    def fn(x, ctx):
+        offs = ctx[ctx_field]                       # (P, 3)
+        T_ref = x.reshape(-1, 4, 4)                 # (1, 4, 4)
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), offs.shape[:1] + (3, 3))
+        T_rel = geom.hom(eye, offs)                 # (P, 4, 4)
+        T = geom.mm(jnp.broadcast_to(T_ref, T_rel.shape), T_rel)
+        return T.reshape(-1, 16)
+    return fn
+
+
+def frame_to_point_distance(link_field: str = "pos_on_link",
+                            obstacle_field: str = "pos_on_obstacle"):
+    """(1, 16) frame 4x4 -> (P, 1) distances from per-pair body points to
+    per-pair obstacle points.
+
+    The body point is reconstructed as (frame origin) + stop_gradient(offset
+    in base frame), so the Jacobian sees the point as rigidly attached to the
+    joint frame origin — exactly the reference's frozen-offset trick
+    (taskmap.py:120-131).  ctx fields are (P, 3) in base frame.
+    """
+    def fn(x, ctx):
+        pos_on_link = ctx[link_field]               # (P, 3) base frame
+        pos_on_obstacle = ctx[obstacle_field]       # (P, 3) base frame
+        T = x.reshape(-1, 4, 4)
+        p_joint = jnp.broadcast_to(T[:, :3, 3], pos_on_link.shape)  # (P, 3)
+        offset = jax.lax.stop_gradient(pos_on_link - p_joint)
+        critical = p_joint + offset
+        d = jnp.linalg.norm(critical - pos_on_obstacle, axis=-1)
+        return d[:, None]
+    return fn
+
+
+def chain(*maps):
+    """Compose taskmaps left-to-right: chain(f, g)(q, ctx) = g(f(q, ctx), ctx).
+
+    Reference chain_taskmaps (taskmap.py:142-168); here composition is plain —
+    autodiff of the composite reproduces J = J2 J1 and c = c2 + J2 c1.
+    """
+    def fn(v, ctx):
+        for m in maps:
+            v = m(v, ctx)
+        return v
+    return fn
+
+
+def differentiate(taskmap_fn, q: Array, qd: Array, ctx=None):
+    """(x, ẋ, J, c) of a taskmap at (q, q̇): shapes (P,d), (P,d), (P,d,n), (P,d).
+
+    Forward-mode throughout (see models/kinematics.differentiate).
+    """
+    fn = lambda qq: taskmap_fn(qq, ctx)
+    return kinematics.differentiate(fn, q, qd)

@@ -1,0 +1,275 @@
+"""Exact parity vs the reference implementation (TF, CPU).
+
+These tests import the reference's own modules from /root/reference (skipped
+if absent) with PyBullet stubbed out (its symbols are only touched by the
+simulation layer, not by the kinematics/taskmap/policy math) and compare our
+JAX implementations against the reference's TF computations on random inputs.
+This is the strongest available oracle in this environment: the reference's
+own PyBullet-parity tests certify its FK/Jacobians, and we certify against
+the reference.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not available")
+
+if os.path.isdir(REF):
+    # stub pybullet before importing reference modules
+    for name in ("pybullet", "pybullet_data", "imageio"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.path.insert(0, REF)
+    import tensorflow as tf
+    tf.config.set_visible_devices([], "GPU")
+    import kinematics as ref_kin            # noqa: E402
+    import rmp as ref_rmp                   # noqa: E402
+    import rmp2 as ref_rmp2                 # noqa: E402
+    import taskmap as ref_taskmap           # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from rmp_tpu import core as rmp_core  # noqa: E402
+from rmp_tpu import taskmaps as tm  # noqa: E402
+from rmp_tpu.models import kinematics as K  # noqa: E402
+from rmp_tpu.models import robots  # noqa: E402
+from rmp_tpu.policies import v1, v2  # noqa: E402
+
+rng = np.random.default_rng(7)
+
+PANDA_URDF = os.path.join(REF, "urdf", "franka_panda", "panda.urdf")
+TWO_JOINT_URDF = os.path.join(REF, "urdf", "TwoJointRobot_wo_fixedJoints.urdf")
+
+
+@pytest.fixture(scope="module")
+def ref_fkine_panda():
+    model = robots.franka_panda()
+    return ref_kin.UrdfForwardKinematic(
+        urdf_filepath=PANDA_URDF, order=list(model.motor_names))
+
+
+@pytest.fixture(scope="module")
+def ref_fkine_two_joint():
+    model = robots.two_joint_robot()
+    return ref_kin.UrdfForwardKinematic(
+        urdf_filepath=TWO_JOINT_URDF, order=list(model.motor_names))
+
+
+def test_fk_parity_all_frames(ref_fkine_panda):
+    model = robots.franka_panda()
+    assert tuple(ref_fkine_panda.frame_names) == model.frame_names
+    for _ in range(20):
+        q = rng.uniform(robots.PANDA_Q_LIM_LOW, robots.PANDA_Q_LIM_HIGH
+                        ).astype(np.float32)
+        ours = np.asarray(K.fk_all(model, jnp.asarray(q)))
+        for i, frame in enumerate(model.frame_names):
+            theirs = ref_fkine_panda.forward(
+                tf.constant([q]), tf.constant(frame)).numpy()[0]
+            np.testing.assert_allclose(ours[i], theirs, atol=2e-5,
+                                       err_msg=f"frame {frame}")
+
+
+def test_fk_parity_two_joint(ref_fkine_two_joint):
+    model = robots.two_joint_robot()
+    for _ in range(20):
+        q = rng.uniform(-np.pi, np.pi, 2).astype(np.float32)
+        ours = np.asarray(K.fk_all(model, jnp.asarray(q)))
+        for i, frame in enumerate(model.frame_names):
+            theirs = ref_fkine_two_joint.forward(
+                tf.constant([q]), tf.constant(frame)).numpy()[0]
+            np.testing.assert_allclose(ours[i], theirs, atol=1e-5,
+                                       err_msg=f"frame {frame}")
+
+
+def test_differentiate_parity(ref_fkine_panda):
+    """(x, ẋ, J, c) of the flattened EE 4x4 vs the reference's double-tape."""
+    model = robots.franka_panda()
+    ee = model.frame_index(robots.PANDA_EE_FRAME)
+    for _ in range(3):
+        q = rng.uniform(-1.0, 1.0, model.n_q).astype(np.float32)
+        qd = rng.uniform(-1.0, 1.0, model.n_q).astype(np.float32)
+        x_r, xd_r, J_r, c_r = ref_fkine_panda.differentiate(
+            tf.constant([q]), tf.constant([qd]),
+            tf.constant(robots.PANDA_EE_FRAME))
+        x, xd, J, c = K.fk_differentiate(model, jnp.asarray(q),
+                                         jnp.asarray(qd), ee)
+        np.testing.assert_allclose(np.asarray(x), x_r.numpy()[0].reshape(16),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(xd), xd_r.numpy()[0], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(J), J_r.numpy()[0], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(c), c_r.numpy()[0], atol=5e-4)
+
+
+def test_chained_taskmap_parity(ref_fkine_panda):
+    """FK ∘ 4x4->position chain: differentiate parity."""
+    model = robots.franka_panda()
+    ref_chain = ref_taskmap.chain_taskmaps([
+        ref_taskmap.TaskmapByForwardKinematic(ref_fkine_panda,
+                                              robots.PANDA_EE_FRAME),
+        ref_taskmap.TaskmapFrom4x4ToPosition()])
+    our_chain = tm.chain(tm.fk_frame(model, robots.PANDA_EE_FRAME),
+                         tm.to_position())
+    for _ in range(3):
+        q = rng.uniform(-1.0, 1.0, model.n_q).astype(np.float32)
+        qd = rng.uniform(-1.0, 1.0, model.n_q).astype(np.float32)
+        x_r, xd_r, J_r, c_r = ref_chain.differentiate(tf.constant([q]),
+                                                      tf.constant([qd]))
+        x, xd, J, c = tm.differentiate(our_chain, jnp.asarray(q),
+                                       jnp.asarray(qd))
+        np.testing.assert_allclose(np.asarray(x), x_r.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(xd), xd_r.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(J), J_r.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(c), c_r.numpy(), atol=5e-4)
+
+
+def _cmp_policy(ref_pol, our_pol, x, xd, ctx=None, atol=1e-5):
+    a_r, M_r = ref_pol.evaluate(tf.constant(x), tf.constant(xd))
+    a, M = our_pol.evaluate(jnp.asarray(x), jnp.asarray(xd), ctx=ctx)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_r), atol=atol)
+    np.testing.assert_allclose(np.asarray(M), np.asarray(M_r), atol=atol)
+
+
+def test_target_policy_v1_parity():
+    goal = np.array([0.6, 0.0, 0.4], dtype=np.float32)
+    ref_pol = ref_rmp.TargetPolicy(alpha=0.1, beta=0.5, c=0.1, goal=goal,
+                                   taskmap=None)
+    our_pol = v1.target_policy(goal=goal, taskmap=None, alpha=0.1, beta=0.5,
+                               c=0.1)
+    for _ in range(5):
+        x = rng.uniform(-1, 1, (1, 3)).astype(np.float32)
+        xd = rng.uniform(-1, 1, (1, 3)).astype(np.float32)
+        _cmp_policy(ref_pol, our_pol, x, xd)
+
+
+def test_collision_avoidance_v1_parity():
+    d = rng.uniform(0.05, 1.5, 3).astype(np.float32)
+    vec = rng.normal(size=(3, 3)).astype(np.float32)
+    vec /= np.linalg.norm(vec, axis=-1, keepdims=True)
+    ref_pol = ref_rmp.CollisionAvoidance(
+        d=tf.constant(d), vec=tf.constant(vec), eta_rep=0.1 * np.e, nu_rep=0.3,
+        eta_damp=1.0, nu_damp=0.3, r=1.1, c=1e5, taskmap=None)
+    our_pol = v1.collision_avoidance(taskmap=None, eta_rep=0.1 * np.e,
+                                     nu_rep=0.3, eta_damp=1.0, nu_damp=0.3,
+                                     r=1.1, c=1e5)
+    ctx = {"distance": jnp.asarray(d), "normal": jnp.asarray(vec)}
+    x = rng.uniform(-1, 1, (3, 3)).astype(np.float32)
+    xd = rng.uniform(-1, 1, (3, 3)).astype(np.float32)
+    _cmp_policy(ref_pol, our_pol, x, xd, ctx=ctx)
+
+
+def test_cspace_biasing_v1_parity():
+    q0 = rng.uniform(-1, 1, 4).astype(np.float32)
+    ref_pol = ref_rmp.ConfigurationSpaceBiasing(gamma_p=0.01, gamma_d=0.1,
+                                                q0=q0, name="b", w=0.05)
+    our_pol = v1.configuration_space_biasing(q0=q0, gamma_p=0.01, gamma_d=0.1,
+                                             name="b", w=0.05)
+    x = rng.uniform(-1, 1, (1, 4)).astype(np.float32)
+    xd = rng.uniform(-1, 1, (1, 4)).astype(np.float32)
+    _cmp_policy(ref_pol, our_pol, x, xd)
+
+
+def test_joint_limit_avoidance_v1_parity():
+    low = np.array([-np.pi, -np.pi], dtype=np.float32)
+    high = np.array([np.pi, np.pi], dtype=np.float32)
+    ref_pol = ref_rmp.JointLimitAvoidance(low, high, gamma_p=0.3, gamma_d=1.0)
+    our_pol = v1.joint_limit_avoidance(low, high, gamma_p=0.3, gamma_d=1.0)
+    for q in ([0.1, 0.2], [np.pi - 0.05, -np.pi + 0.1], [3.0, -3.0]):
+        x = np.array([q], dtype=np.float32)
+        xd = rng.uniform(-1, 1, (1, 2)).astype(np.float32)
+        _cmp_policy(ref_pol, our_pol, x, xd)
+
+
+def test_target_attractor_v2_parity():
+    goal = np.array([0.2, -0.2, 0.5], dtype=np.float32)
+    kw = dict(accel_p_gain=0.3, accel_d_gain=0.6, accel_norm_eps=0.075,
+              metric_alpha_length_scale=0.05, min_metric_alpha=0.03,
+              max_metric_scalar=1, min_metric_scalar=0.5,
+              proximity_metric_boost_scalar=1.0,
+              proximity_metric_boost_length_scale=0.02)
+    ref_pol = ref_rmp2.TargetAttractor(goal=goal, taskmap=None, **kw)
+    our_pol = v2.target_attractor(goal=goal, taskmap=None, **kw)
+    for _ in range(5):
+        x = rng.uniform(-1, 1, (1, 3)).astype(np.float32)
+        xd = rng.uniform(-1, 1, (1, 3)).astype(np.float32)
+        _cmp_policy(ref_pol, our_pol, x, xd)
+
+
+def test_joint_velocity_cap_v2_parity():
+    kw = dict(max_velocity=0.5, velocity_damping_region=0.15, damping_gain=5.0,
+              metric_weight=0.05)
+    ref_pol = ref_rmp2.JointVelocityCap(**kw)
+    our_pol = v2.joint_velocity_cap(**kw)
+    for _ in range(5):
+        x = rng.uniform(-1, 1, (1, 9)).astype(np.float32)
+        xd = rng.uniform(-0.8, 0.8, (1, 9)).astype(np.float32)
+        _cmp_policy(ref_pol, our_pol, x, xd)
+
+
+def test_joint_damping_v2_parity():
+    kw = dict(accel_d_gain=1, metric_scalar=0.005, inertia=0.3)
+    ref_pol = ref_rmp2.JointDamping(**kw)
+    our_pol = v2.joint_damping(**kw)
+    x = rng.uniform(-1, 1, (1, 9)).astype(np.float32)
+    xd = rng.uniform(-1, 1, (1, 9)).astype(np.float32)
+    _cmp_policy(ref_pol, our_pol, x, xd)
+
+
+def test_obstacle_avoidance_v2_parity():
+    kw = dict(margin=0.0, damping_gain=50, damping_std_dev=0.04,
+              damping_robustness_eps=0.01,
+              damping_velocity_gate_length_scale=0.01, repulsion_gain=800,
+              repulsion_std_dev=0.01, metric_modulation_radius=0.5,
+              metric_scalar=1, metric_exploder_std_dev=0.02,
+              metric_exploder_eps=0.001)
+    ref_pol = ref_rmp2.ObstacleAvoidance(taskmap=None, name="obs", **kw)
+    our_pol = v2.obstacle_avoidance(taskmap=None, name="obs", **kw)
+    for _ in range(5):
+        x = rng.uniform(0.0, 0.8, (4, 1)).astype(np.float32)
+        xd = rng.uniform(-1, 1, (4, 1)).astype(np.float32)
+        _cmp_policy(ref_pol, our_pol, x, xd, atol=1e-3)  # 1/x metric near 0
+
+
+def test_cspace_biasing_v2_parity():
+    goal = rng.uniform(-1, 1, 9).astype(np.float32)
+    kw = dict(metric_scalar=0.005, position_gain=1, damping_gain=2,
+              robust_position_term_thresh=0.5, inertia=0.0001)
+    ref_pol = ref_rmp2.CSpaceBiasing(goal=tf.constant(goal), **kw)
+    our_pol = v2.cspace_biasing(goal=goal, **kw)
+    for _ in range(5):
+        x = rng.uniform(-1, 1, (1, 9)).astype(np.float32)
+        xd = rng.uniform(-1, 1, (1, 9)).astype(np.float32)
+        _cmp_policy(ref_pol, our_pol, x, xd)
+
+
+def test_core_combined_evaluation_parity(ref_fkine_panda):
+    """Full RmpCore.evaluate parity on the franka_panda/01 policy set
+    (experiments/franka_panda/01_target_rmp_only.py:40-47)."""
+    model = robots.franka_panda()
+    goal = np.array([0.6, 0.0, 0.4], dtype=np.float32)
+
+    ref_chain = ref_taskmap.chain_taskmaps([
+        ref_taskmap.TaskmapByForwardKinematic(ref_fkine_panda,
+                                              robots.PANDA_EE_FRAME),
+        ref_taskmap.TaskmapFrom4x4ToPosition()])
+    ref_core = ref_rmp.RmpCore(rmps={})
+    ref_core.add_rmp(ref_rmp.TargetPolicy(alpha=0.1, beta=0.5, c=0.1,
+                                          goal=goal, name="target",
+                                          taskmap=ref_chain))
+
+    our_core = rmp_core.RmpCore()
+    our_core.add_rmp(v1.target_policy(
+        goal=goal, taskmap=tm.chain(tm.fk_frame(model, robots.PANDA_EE_FRAME),
+                                    tm.to_position()),
+        alpha=0.1, beta=0.5, c=0.1, name="target"))
+
+    for _ in range(3):
+        q = rng.uniform(-1.0, 1.0, model.n_q).astype(np.float32)
+        qd = rng.uniform(-0.5, 0.5, model.n_q).astype(np.float32)
+        qdd_ref = ref_core.evaluate(q, qd).numpy()
+        qdd = np.asarray(our_core.evaluate(q, qd))
+        np.testing.assert_allclose(qdd, qdd_ref, atol=1e-3)
