@@ -1,0 +1,65 @@
+"""Benchmark: RMP control steps/sec/chip on the flagship workload.
+
+Workload (BASELINE.md north star): Franka Panda cluttered-environment scene
+(franka/06: 14 policies = v2 stack + c-space bias + 10 collision frames x 7
+cylinders), 4096 batched environments, full control step = sense (70 analytic
+closest-point queries) -> stacked-jacfwd RMP evaluation -> resolve -> 10
+semi-implicit Euler substeps.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 1e6 (the >=1M steps/s/chip target, BASELINE.json).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    batch = int(os.environ.get("RMP_BENCH_BATCH", "4096"))
+    ticks = int(os.environ.get("RMP_BENCH_TICKS", "50"))
+    reps = int(os.environ.get("RMP_BENCH_REPS", "5"))
+
+    from rmp_tpu import envs
+
+    env = envs.make("franka/06_cluttered_environment")
+    # resolve via LU solve: identical result to pinv here (combined metric is
+    # invertible by construction — damping/inertia terms), far faster than SVD
+    env.resolve_method = "solve"
+
+    params = env.gather_params()
+    states = envs.make_batched_reset(env, batch)(jax.random.PRNGKey(0))
+    rollout = jax.jit(lambda s, p: envs.make_batched_rollout(env, ticks)(s, p))
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    out = rollout(states, params)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        final, aux = rollout(states, params)
+        jax.block_until_ready(final.sim.q)
+        best = min(best, time.perf_counter() - t0)
+
+    control_steps_per_sec = batch * ticks / best
+    result = {
+        "metric": "rmp_control_steps_per_sec_per_chip",
+        "value": round(control_steps_per_sec, 1),
+        "unit": "control_steps/s/chip (franka cluttered, "
+                f"{batch} envs, {ticks} ticks; compile {compile_s:.1f}s; "
+                f"platform {jax.devices()[0].platform})",
+        "vs_baseline": round(control_steps_per_sec / 1_000_000.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,3 +9,17 @@ and the 11 reference experiment scenarios.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# This workload is small-matrix fp32 numerics (4x4 chain products, <=16x9
+# pullbacks, 9x9 solves): on TPU the MXU's default bf16 passes introduce
+# ~1e-3 errors that break trajectory parity outright. True-fp32 matmuls cost
+# nothing at these shapes (the workload is bandwidth/fusion bound), so the
+# framework pins HIGHEST matmul precision globally. Opt out with
+# RMP_TPU_DEFAULT_MATMUL_PRECISION=default|high|highest.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("RMP_TPU_DEFAULT_MATMUL_PRECISION", "highest"))

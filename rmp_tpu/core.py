@@ -50,12 +50,17 @@ def resolve(A: Array, f: Array, method: str = "pinv") -> Array:
 
     method:
       'pinv'     — Moore-Penrose via SVD (reference parity, rmp.py:153-155).
-      'cholesky' — ridge-regularized PSD solve (fast TPU path; valid when all
-                   leaf metrics are PSD — true for every shipped policy except
-                   the v1 JointLimitAvoidance asymmetric-metric quirk).
+      'solve'    — LU solve (fast TPU path; identical to pinv whenever the
+                   combined metric is invertible, which every shipped policy
+                   stack guarantees via its damping/inertia terms).
+      'cholesky' — ridge-regularized PSD solve (fastest; valid when all leaf
+                   metrics are PSD — true for every shipped policy except the
+                   v1 JointLimitAvoidance asymmetric-metric quirk).
     """
     if method == "pinv":
         return geom.mv(jnp.linalg.pinv(A), f)
+    if method == "solve":
+        return jnp.linalg.solve(A, f)
     if method == "cholesky":
         n = A.shape[-1]
         A_sym = 0.5 * (A + jnp.swapaxes(A, -1, -2)) + 1e-6 * jnp.eye(n, dtype=A.dtype)

@@ -1,0 +1,24 @@
+"""Experiment scenario registry (the reference's experiments/ as envs)."""
+from rmp_tpu.envs import base, franka, two_joint  # noqa: F401
+from rmp_tpu.envs.base import (Env, EnvState, env_state,  # noqa: F401
+                               make_batched_reset, make_batched_rollout,
+                               make_control_step, make_rollout)
+
+REGISTRY = {
+    "two_joint/01_target_rmp_only": two_joint.env_01_target_rmp_only,
+    "two_joint/02_jointspace_biasing": two_joint.env_02_jointspace_biasing,
+    "two_joint/03_jointlimit_avoiding": two_joint.env_03_jointlimit_avoiding,
+    "two_joint/04_driving_into_jointlimits":
+        two_joint.env_04_driving_into_jointlimits,
+    "two_joint/05_obstacle_avoidance": two_joint.env_05_obstacle_avoidance,
+    "franka/01_target_rmp_only": franka.env_01_target_rmp_only,
+    "franka/02_provoke_collision": franka.env_02_provoke_collision,
+    "franka/03_self_avoidance": franka.env_03_self_avoidance,
+    "franka/04_nullspace_control": franka.env_04_nullspace_control,
+    "franka/05_obstacle_avoidance": franka.env_05_obstacle_avoidance,
+    "franka/06_cluttered_environment": franka.env_06_cluttered_environment,
+}
+
+
+def make(name: str) -> Env:
+    return REGISTRY[name]()

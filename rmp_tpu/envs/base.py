@@ -1,0 +1,175 @@
+"""Environment machinery: reference experiments as batched, jittable envs.
+
+The reference's experiments (experiments/*/0*.py) are imperative scripts:
+  per control tick (10 Hz): state() -> Datamanager.update -> core.evaluate,
+  then 10 physics steps at 100 Hz, plus host-side goal/robot resampling when
+  a tolerance check fires.
+
+Here each experiment is an `Env`: a pure `step(env_state, params)` that runs
+ONE control tick (sense -> combined RMP evaluation -> `control_every`
+integrator substeps with the latched q̈, exactly the reference's loop
+structure) plus in-graph solved-checking and resampling. Envs vmap over
+thousands of states and shard over device meshes (parallel/).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from rmp_tpu.core import evaluate_policies
+from rmp_tpu.models import kinematics as K
+from rmp_tpu.models.urdf import KinematicModel
+from rmp_tpu.policies.base import Policy
+from rmp_tpu.sim.world import SimState, physics_step, sense
+
+Array = jax.Array
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EnvState:
+    """Carried rollout state: sim + PRNG + bookkeeping (all traced)."""
+
+    sim: SimState
+    key: Array
+    steps: Array          # control ticks taken (i32)
+    solved_count: Array   # number of goals reached (i32)
+    phase: Array          # env-specific phase/goal index (i32)
+
+    def tree_flatten(self):
+        return ((self.sim, self.key, self.steps, self.solved_count,
+                 self.phase), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
+
+def env_state(sim: SimState, key: Array) -> EnvState:
+    zero = jnp.zeros((), jnp.int32)
+    return EnvState(sim=sim, key=key, steps=zero, solved_count=zero,
+                    phase=zero)
+
+
+@dataclasses.dataclass
+class Env:
+    """One experiment scenario.
+
+    reset(key) -> EnvState; the step function comes from make_control_step.
+    on_solved(env_state) -> env_state handles the experiment's resampling
+    behavior (new goal / new robot config / next goal in sequence) in-graph.
+    bind_params(params, sim) injects state-carried quantities (the current
+    goal) into policy params each tick.
+    """
+
+    name: str
+    model: KinematicModel
+    policies: tuple[Policy, ...]
+    reset: Callable[[Array], EnvState]
+    ee_frame: int
+    dt: float = 0.01
+    control_every: int = 10
+    solved_tol: float = 0.02
+    solved_xy_only: bool = False
+    resolve_method: str = "pinv"
+    torque_mode: bool = False
+    on_solved: Callable[[EnvState], EnvState] | None = None
+    bind_params: Callable[[tuple, SimState], tuple] | None = None
+    check_velocity: float | None = None   # also require |q̇| < this
+    context_fn: Callable[[KinematicModel, SimState], dict] | None = None
+
+    def gather_params(self) -> tuple:
+        return tuple(p.params for p in self.policies)
+
+
+def bind_goal(policy_names: tuple[str, ...]):
+    """bind_params helper: set params['goal'] = sim.goal for named policies."""
+    def bind(params, sim, policies):
+        out = []
+        for p, prm in zip(policies, params):
+            if p.name in policy_names and sim.goal is not None:
+                prm = dict(prm)
+                prm["goal"] = sim.goal
+            out.append(prm)
+        return tuple(out)
+    return bind
+
+
+def ee_position(env: Env, sim: SimState) -> Array:
+    return K.fk_frame(env.model, sim.q, env.ee_frame)[:3, 3]
+
+
+def is_solved(env: Env, sim: SimState) -> Array:
+    x = ee_position(env, sim)
+    goal = sim.goal
+    if env.solved_xy_only:
+        x, goal = x[:2], goal[:2]
+    ok = jnp.linalg.norm(x - goal) < env.solved_tol
+    if env.check_velocity is not None:
+        ok = ok & (jnp.linalg.norm(sim.qd) < env.check_velocity)
+    return ok
+
+
+def make_control_step(env: Env):
+    """Pure fn(env_state, params) -> (env_state, aux) for ONE control tick."""
+    model = env.model
+    policies = env.policies
+
+    def step(state: EnvState, params: tuple):
+        sim = state.sim
+        if env.bind_params is not None:
+            params = env.bind_params(params, sim, policies)
+        if env.context_fn is not None:
+            q, qd = sim.q, sim.qd
+            frame_ctx = env.context_fn(model, sim)
+        else:
+            q, qd, frame_ctx = sense(model, sim)
+        ctxs = tuple(frame_ctx.get(p.ctx_key) if getattr(p, "ctx_key", None)
+                     else None for p in policies)
+        qdd = evaluate_policies(policies, q, qd, params, ctxs,
+                                method=env.resolve_method)
+
+        def substep(s, _):
+            return physics_step(model, s, qdd, env.dt,
+                                torque_mode=env.torque_mode), None
+        sim, _ = jax.lax.scan(substep, sim, None, length=env.control_every)
+
+        state = dataclasses.replace(state, sim=sim, steps=state.steps + 1)
+        solved = is_solved(env, sim) if sim.goal is not None else jnp.asarray(False)
+        if env.on_solved is not None:
+            resampled = env.on_solved(dataclasses.replace(
+                state, solved_count=state.solved_count + 1))
+            state = jax.tree.map(
+                lambda a, b: jnp.where(solved, a, b), resampled, state)
+        aux = dict(solved=solved, qdd=qdd,
+                   ee=ee_position(env, sim) if sim.goal is not None else None)
+        return state, aux
+    return step
+
+
+def make_rollout(env: Env, n_ticks: int):
+    """fn(env_state, params) -> (final_state, stacked aux) via lax.scan."""
+    step = make_control_step(env)
+
+    def rollout(state: EnvState, params: tuple):
+        def body(s, _):
+            s, aux = step(s, params)
+            return s, aux
+        return jax.lax.scan(body, state, None, length=n_ticks)
+    return rollout
+
+
+def make_batched_reset(env: Env, batch: int):
+    def reset(key: Array):
+        return jax.vmap(env.reset)(jax.random.split(key, batch))
+    return reset
+
+
+def make_batched_rollout(env: Env, n_ticks: int):
+    """vmapped rollout: params shared across the batch, state batched."""
+    rollout = make_rollout(env, n_ticks)
+    return jax.vmap(rollout, in_axes=(0, None))

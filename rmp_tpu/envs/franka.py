@@ -1,0 +1,288 @@
+"""Franka Panda experiment scenarios (reference experiments/franka_panda/).
+
+06_cluttered_environment is the flagship demo (and the benchmark workload,
+BASELINE.md): 7 cylinders, v2 policy stack, 6 sequential goals.
+
+02/03 used the reference's removed legacy `_RmpCore` API and no longer run as
+written there (SURVEY.md §6); here they are provided as working equivalents:
+02 drives through an obstacle with collision policies disabled (failure
+probe), 03 runs self-collision avoidance from the analytic self-distance
+queries.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmp_tpu import taskmaps as tm
+from rmp_tpu.envs.base import Env, EnvState, bind_goal, env_state
+from rmp_tpu.models import robots
+from rmp_tpu.models.ik import inverse_kinematics
+from rmp_tpu.policies import v1, v2
+from rmp_tpu.sim.collision import (ObstacleSet, cylinder_obstacle,
+                                   robot_self_distances, self_collision_pairs)
+from rmp_tpu.sim.data import distance_context
+from rmp_tpu.sim.world import init_state, sense
+
+MODEL = robots.franka_panda
+EE = robots.PANDA_EE_FRAME
+Q_READY = robots.PANDA_Q_READY
+
+
+def _ee_pos_taskmap(model):
+    return tm.chain(tm.fk_frame(model, EE), tm.to_position())
+
+
+def _goal_bind():
+    binder = bind_goal(("target", "attractor"))
+    return lambda params, sim, pols: binder(params, sim, pols)
+
+
+def _resample_goal(low, high):
+    low = jnp.asarray(low, jnp.float32)
+    high = jnp.asarray(high, jnp.float32)
+
+    def on_solved(state: EnvState) -> EnvState:
+        k, sub = jax.random.split(state.key)
+        new_goal = jax.random.uniform(sub, (3,), minval=low, maxval=high)
+        sim = dataclasses.replace(state.sim, goal=new_goal)
+        return dataclasses.replace(state, sim=sim, key=k)
+    return on_solved
+
+
+def _v2_policy_stack(model, goal, attractor_p_gain, attractor_d_gain,
+                     with_cspace_bias: bool):
+    """The shared v2 stack of experiments 05/06 (05_obstacle_avoidance.py:50-67,
+    06_cluttered_environment.py:66-95)."""
+    policies = [
+        v2.target_attractor(
+            goal=goal, taskmap=_ee_pos_taskmap(model),
+            accel_p_gain=attractor_p_gain, accel_d_gain=attractor_d_gain,
+            accel_norm_eps=0.075, metric_alpha_length_scale=0.05,
+            min_metric_alpha=0.03, max_metric_scalar=1, min_metric_scalar=0.5,
+            proximity_metric_boost_scalar=1.0,
+            proximity_metric_boost_length_scale=0.02, name="attractor"),
+        v2.joint_velocity_cap(max_velocity=0.5, velocity_damping_region=0.15,
+                              damping_gain=5.0, metric_weight=0.05),
+        v2.joint_damping(accel_d_gain=1, metric_scalar=0.005, inertia=0.3),
+    ]
+    if with_cspace_bias:
+        policies.append(v2.cspace_biasing(
+            goal=[0.0, -0.9, 0.0, -2.8, 0.0, 2.0, 0.7853981633974483, 0.02,
+                  0.02],
+            metric_scalar=0.005, position_gain=1, damping_gain=2,
+            robust_position_term_thresh=0.5, inertia=0.0001))
+    return policies
+
+
+def _obstacle_policies(model):
+    """Per-collision-frame ObstacleAvoidance on FK∘distance chains
+    (05_obstacle_avoidance.py:69-92)."""
+    out = []
+    for i in model.collision_frames:
+        frame = model.frame_names[i]
+        taskmap = tm.chain(tm.fk_frame(model, frame),
+                           tm.frame_to_point_distance())
+        pol = v2.obstacle_avoidance(
+            taskmap=taskmap, margin=0.0, damping_gain=50, damping_std_dev=0.04,
+            damping_robustness_eps=0.01,
+            damping_velocity_gate_length_scale=0.01, repulsion_gain=800,
+            repulsion_std_dev=0.01, metric_modulation_radius=0.5,
+            metric_scalar=1, metric_exploder_std_dev=0.02,
+            metric_exploder_eps=0.001,
+            name=f"collision_avoidance_for_{frame}")
+        pol.ctx_key = frame
+        out.append(pol)
+    return out
+
+
+def env_01_target_rmp_only() -> Env:
+    """experiments/franka_panda/01_target_rmp_only.py."""
+    model = MODEL()
+    policies = (v1.target_policy(goal=[0.6, 0.0, 0.4],
+                                 taskmap=_ee_pos_taskmap(model),
+                                 alpha=0.1, beta=0.5, c=0.1, name="target"),)
+
+    def reset(key):
+        sim = init_state(model, q=Q_READY, goal=[0.6, 0.0, 0.4])
+        return env_state(sim, key)
+
+    return Env(name="franka/01_target_rmp_only", model=model,
+               policies=policies, reset=reset, ee_frame=model.frame_index(EE),
+               bind_params=_goal_bind(),
+               on_solved=_resample_goal([0.3, -0.7, 0.3], [0.7, 0.7, 0.7]))
+
+
+def env_02_provoke_collision() -> Env:
+    """Failure probe: target straight through a cylinder, no obstacle RMPs
+    (working equivalent of the bitrotted 02_provoce_collision.py)."""
+    model = MODEL()
+    policies = (v1.target_policy(goal=[0.0, -0.5, 0.5],
+                                 taskmap=_ee_pos_taskmap(model),
+                                 alpha=0.1, beta=0.5, c=0.1, name="target"),)
+    obstacle = cylinder_obstacle([0.3, -0.3, 0.5], [0.2, 0.0, 0.0],
+                                 radius=0.025, height=0.3)
+
+    def reset(key):
+        sim = init_state(model, q=Q_READY, obstacles=obstacle,
+                         goal=[0.0, -0.5, 0.5])
+        return env_state(sim, key)
+
+    return Env(name="franka/02_provoke_collision", model=model,
+               policies=policies, reset=reset, ee_frame=model.frame_index(EE),
+               bind_params=_goal_bind())
+
+
+def env_03_self_avoidance() -> Env:
+    """Self-collision avoidance from analytic self-distance queries (working
+    equivalent of the bitrotted 03_self_avoidance.py): per-frame v1
+    CollisionAvoidance fed by link-link closest points."""
+    model = MODEL()
+    pairs = self_collision_pairs(model, n_neighbors=3)
+    # group pairs by their first frame -> per-frame pair context
+    frames = sorted({a for a, _ in pairs})
+    policies = [
+        v1.target_policy(goal=[0.6, 0.0, 0.4], taskmap=_ee_pos_taskmap(model),
+                         alpha=0.1, beta=0.5, c=0.1, name="target"),
+        v2.joint_damping(accel_d_gain=1, metric_scalar=0.005, inertia=0.3),
+    ]
+    for f in frames:
+        frame = model.frame_names[f]
+        taskmap = tm.chain(tm.fk_frame(model, frame), tm.relative_offsets(),
+                           tm.to_position())
+        pol = v1.collision_avoidance(
+            taskmap=taskmap, eta_rep=0.1 * np.e, nu_rep=0.3, eta_damp=1.0,
+            nu_damp=0.3, r=0.4, c=1e5, name=f"self_avoidance_for_{frame}")
+        pol.ctx_key = frame
+        policies.append(pol)
+    policies = tuple(policies)
+
+    from rmp_tpu.models import kinematics as K
+    from rmp_tpu.ops import geom
+
+    def context_fn(model_, sim):
+        T_all = K.fk_all(model_, sim.q)
+        pos_a, pos_b, normal, dist = robot_self_distances(model_, T_all, pairs)
+        ctx = {}
+        for f in frames:
+            rows = [i for i, (a, _) in enumerate(pairs) if a == f]
+            idx = jnp.asarray(rows)
+            T = T_all[f]
+            rel = geom.mv(T[:3, :3].T, pos_a[idx] - T[:3, 3])
+            ctx[model_.frame_names[f]] = dict(
+                pos_on_link=pos_a[idx], pos_on_obstacle=pos_b[idx],
+                normal=normal[idx], distance=dist[idx],
+                relative_position=rel, mask=jnp.ones_like(dist[idx]))
+        return ctx
+
+    def reset(key):
+        sim = init_state(model, q=Q_READY, goal=[0.6, 0.0, 0.4])
+        return env_state(sim, key)
+
+    return Env(name="franka/03_self_avoidance", model=model,
+               policies=policies, reset=reset, ee_frame=model.frame_index(EE),
+               bind_params=_goal_bind(), context_fn=context_fn,
+               on_solved=_resample_goal([0.3, -0.7, 0.3], [0.7, 0.7, 0.7]))
+
+
+def env_04_nullspace_control() -> Env:
+    """experiments/franka_panda/04_nullspace_control.py — target + c-space
+    biasing resolves redundancy; start pose from IK at the goal."""
+    model = MODEL()
+    policies = (
+        v1.target_policy(goal=[0.6, 0.0, 0.5], taskmap=_ee_pos_taskmap(model),
+                         alpha=0.1, beta=1.0, c=0.1, name="target"),
+        v1.configuration_space_biasing(
+            q0=[np.pi / 2, -0.05, 0, -2.01, 0, 2.22, 0.79, 0.02, 0.02],
+            gamma_p=0.01, gamma_d=0.1, name="jointspace_biasing", w=0.05),
+    )
+
+    from scipy.spatial.transform import Rotation
+    quat = Rotation.from_euler(
+        "xyz", [np.pi / 16, np.pi / 16, 0]).as_quat().astype(np.float32)
+    q_start = inverse_kinematics(model, EE, jnp.asarray([0.6, 0.0, 0.5]),
+                                 target_orientation_quat=jnp.asarray(quat),
+                                 q_init=jnp.asarray(Q_READY))
+
+    def reset(key):
+        sim = init_state(model, q=q_start, goal=[0.6, 0.0, 0.5])
+        return env_state(sim, key)
+
+    return Env(name="franka/04_nullspace_control", model=model,
+               policies=policies, reset=reset, ee_frame=model.frame_index(EE),
+               bind_params=_goal_bind())
+
+
+def env_05_obstacle_avoidance() -> Env:
+    """experiments/franka_panda/05_obstacle_avoidance.py — v2 stack + one
+    tilted cylinder."""
+    model = MODEL()
+    policies = tuple(
+        _v2_policy_stack(model, goal=[0.0, -0.5, 0.5], attractor_p_gain=0.1,
+                         attractor_d_gain=1.0, with_cspace_bias=False)
+        + _obstacle_policies(model))
+    obstacle = cylinder_obstacle([0.3, -0.3, 0.5], [0.2, 0.0, 0.0],
+                                 radius=0.025, height=0.3)
+
+    def reset(key):
+        sim = init_state(model, q=Q_READY, obstacles=obstacle,
+                         goal=[0.0, -0.5, 0.5])
+        return env_state(sim, key)
+
+    return Env(name="franka/05_obstacle_avoidance", model=model,
+               policies=policies, reset=reset, ee_frame=model.frame_index(EE),
+               bind_params=_goal_bind())
+
+
+CLUTTERED_GOALS = np.array(
+    [[0.2, -0.2, 0.5],
+     [0.5, -0.4, 0.5],
+     [0.6, -0.2, 0.7],
+     [0.6, 0.0, 0.3],
+     [0.4, 0.55, 0.65],
+     [0.65, 0.35, 0.65]], dtype=np.float32)   # 06_cluttered_environment.py
+
+
+def cluttered_obstacles() -> ObstacleSet:
+    """The 7 cylinders of 06_cluttered_environment.py:37-52."""
+    cyl = [
+        ([0.35, -0.2, 0.55], [0.1, 0, 0], 0.025, 0.2),
+        ([0.1, -0.4, 0.125], [0.1, 0, 0], 0.025, 0.3),
+        ([0.33, -0.3, 0.7], [-1.7, 0.7, 0], 0.025, 0.3),
+        ([0.55, 0.25, 0.5], [0.1, 0, 0], 0.025, 0.3),
+        ([0.8, 0.25, 0.3], [0.1, 0, 0], 0.025, 0.3),
+        ([0.5, 0.4, 0.31], [3.14 / 2, 0, 0], 0.025, 0.3),
+        ([0.45, 0.1, 0.11], [3.14 / 2, 0, 0], 0.025, 0.3),
+    ]
+    return ObstacleSet.of(*[cylinder_obstacle(p, o, r, h)
+                            for p, o, r, h in cyl])
+
+
+def env_06_cluttered_environment() -> Env:
+    """experiments/franka_panda/06_cluttered_environment.py — the flagship:
+    full v2 stack + c-space bias + 10 collision frames x 7 cylinders, six
+    sequential goals advanced in-graph when reached."""
+    model = MODEL()
+    policies = tuple(
+        _v2_policy_stack(model, goal=CLUTTERED_GOALS[0], attractor_p_gain=0.3,
+                         attractor_d_gain=0.6, with_cspace_bias=True)
+        + _obstacle_policies(model))
+    obstacles = cluttered_obstacles()
+    goals = jnp.asarray(CLUTTERED_GOALS)
+
+    def on_solved(state: EnvState) -> EnvState:
+        nxt = jnp.minimum(state.phase + 1, len(CLUTTERED_GOALS) - 1)
+        sim = dataclasses.replace(state.sim, goal=goals[nxt])
+        return dataclasses.replace(state, sim=sim, phase=nxt)
+
+    def reset(key):
+        sim = init_state(model, q=Q_READY, obstacles=obstacles,
+                         goal=CLUTTERED_GOALS[0])
+        return env_state(sim, key)
+
+    return Env(name="franka/06_cluttered_environment", model=model,
+               policies=policies, reset=reset, ee_frame=model.frame_index(EE),
+               bind_params=_goal_bind(), on_solved=on_solved)

@@ -22,6 +22,9 @@ class Policy:
     taskmap: Callable
     accel_metric: Callable
     params: Any = None
+    # key into the per-tick context dict (e.g. a collision frame name) for
+    # policies whose taskmap/evaluation consume sensed data; None otherwise
+    ctx_key: str | None = None
 
     def evaluate(self, x: Array, xd: Array, params: Any = None,
                  ctx: Any = None):

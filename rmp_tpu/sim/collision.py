@@ -1,0 +1,193 @@
+"""Analytic closest-point / distance queries, TPU-native.
+
+Replaces PyBullet's C++ GJK mesh queries (reference simulation.py:462-484,
+p.getClosestPoints): every shape is a capsule (sphere = zero-length capsule;
+cylinders are capsule-approximated — parity with mesh distances is therefore
+tolerance-banded, SURVEY.md §7 'hard parts').  The query returns the same
+tuple PyBullet does: (point on link surface, point on obstacle surface,
+normal on obstacle pointing toward the link, signed distance).
+
+All functions are branchless (clamped closed forms), differentiable, and
+broadcast over leading batch axes.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from rmp_tpu.models.urdf import KinematicModel
+from rmp_tpu.ops import geom
+
+Array = jax.Array
+_EPS = 1e-9
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ObstacleSet:
+    """Struct-of-arrays obstacle collection (all capsules), world frame.
+
+    p0, p1: (K, 3) segment endpoints (equal for spheres); radius: (K,).
+    A pytree — poses/sizes are traced values, so scenes randomize without
+    recompilation; K is static.
+    """
+
+    p0: Array
+    p1: Array
+    radius: Array
+
+    def tree_flatten(self):
+        return (self.p0, self.p1, self.radius), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
+    @property
+    def count(self) -> int:
+        return self.p0.shape[-2]
+
+    @staticmethod
+    def of(*obstacles: "ObstacleSet") -> "ObstacleSet":
+        return ObstacleSet(
+            p0=jnp.concatenate([o.p0 for o in obstacles], axis=-2),
+            p1=jnp.concatenate([o.p1 for o in obstacles], axis=-2),
+            radius=jnp.concatenate([o.radius for o in obstacles], axis=-1))
+
+
+def sphere_obstacle(center, radius) -> ObstacleSet:
+    c = jnp.asarray(center, jnp.float32)[None]
+    return ObstacleSet(c, c, jnp.asarray([radius], jnp.float32))
+
+
+def cylinder_obstacle(base_position, base_orientation_euler, radius,
+                      height) -> ObstacleSet:
+    """Cylinder (URDF/PyBullet convention: axis = local z, centered) as a
+    capsule along its axis.  base_orientation_euler: extrinsic-XYZ (the
+    reference passes eulers to PyBullet, simulation.py:245-272)."""
+    c = jnp.asarray(base_position, jnp.float32)
+    R = geom.rotation_matrix_from_rpy(jnp.asarray(base_orientation_euler,
+                                                  jnp.float32))
+    half = (height / 2.0) * R[:, 2]
+    return ObstacleSet((c - half)[None], (c + half)[None],
+                       jnp.asarray([radius], jnp.float32))
+
+
+def segment_closest_params(a0: Array, a1: Array, b0: Array, b1: Array):
+    """Clamped closest-point parameters (s, t) in [0,1] between segments
+    a0+s(a1-a0) and b0+t(b1-b0). Branchless (Ericson 5.1.9 style, two-pass
+    clamp), safe for degenerate (point) segments."""
+    d1 = a1 - a0
+    d2 = b1 - b0
+    r = a0 - b0
+    a = jnp.sum(d1 * d1, axis=-1)
+    e = jnp.sum(d2 * d2, axis=-1)
+    f = jnp.sum(d2 * r, axis=-1)
+    c = jnp.sum(d1 * r, axis=-1)
+    b = jnp.sum(d1 * d2, axis=-1)
+    denom = a * e - b * b
+    s = jnp.where(denom > _EPS, (b * f - c * e) / (denom + _EPS), 0.0)
+    # segment B degenerate (sphere): closest point on A to the point b0
+    s = jnp.where(e > _EPS, s, -c / (a + _EPS))
+    s = jnp.clip(s, 0.0, 1.0)
+    t = jnp.where(e > _EPS, (b * s + f) / (e + _EPS), 0.0)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    # re-project s for clamped t
+    s = jnp.where((t != t_cl) & (a > _EPS),
+                  jnp.clip((t_cl * b - c) / (a + _EPS), 0.0, 1.0), s)
+    return s, t_cl
+
+
+def capsule_capsule_query(a0, a1, ra, b0, b1, rb):
+    """(pos_on_a, pos_on_b, normal_on_b, distance) between two capsules.
+
+    normal_on_b points from capsule b toward capsule a (PyBullet's
+    contactNormalOnB convention); distance is negative on penetration.
+    Broadcasts over leading axes.
+    """
+    s, t = segment_closest_params(a0, a1, b0, b1)
+    ca = a0 + s[..., None] * (a1 - a0)
+    cb = b0 + t[..., None] * (b1 - b0)
+    diff = ca - cb
+    center_dist = jnp.linalg.norm(diff, axis=-1)
+    n = diff / (center_dist[..., None] + _EPS)
+    pos_on_a = ca - ra[..., None] * n
+    pos_on_b = cb + rb[..., None] * n
+    distance = center_dist - ra - rb
+    return pos_on_a, pos_on_b, n, distance
+
+
+def link_world_capsules(model: KinematicModel, T_all: Array):
+    """World-frame (p0, p1, radius) of the first collision primitive of each
+    collision frame.  T_all: (F, 4, 4) from fk_all.  Returns (L,3),(L,3),(L,)
+    with L = len(model.collision_frames) (static)."""
+    import numpy as np
+    frames = model.collision_frames
+    p0_local = np.asarray([model.collision[i][0].p0 for i in frames],
+                          dtype=np.float32)
+    p1_local = np.asarray([model.collision[i][0].p1 for i in frames],
+                          dtype=np.float32)
+    radius = jnp.asarray([model.collision[i][0].radius for i in frames],
+                         dtype=jnp.float32)
+    T = T_all[jnp.asarray(frames)]                    # (L, 4, 4)
+    p0 = geom.transform_point(T, jnp.asarray(p0_local))
+    p1 = geom.transform_point(T, jnp.asarray(p1_local))
+    return p0, p1, radius
+
+
+def robot_obstacle_distances(model: KinematicModel, T_all: Array,
+                             obstacles: ObstacleSet):
+    """All link x obstacle closest-point queries.
+
+    Returns (pos_on_link, pos_on_obstacle, normal, distance) with shapes
+    (L, K, 3) / (L, K, 3) / (L, K, 3) / (L, K) — the fixed-capacity
+    replacement for the reference's per-tick Python pair loop
+    (simulation.py:443-484) + Datamanager variable mutation.
+    """
+    p0, p1, radius = link_world_capsules(model, T_all)      # (L, ...)
+    L, K = p0.shape[0], obstacles.count
+    a0 = p0[:, None, :].repeat(K, 1)
+    a1 = p1[:, None, :].repeat(K, 1)
+    ra = radius[:, None].repeat(K, 1)
+    b0 = jnp.broadcast_to(obstacles.p0[None], (L, K, 3))
+    b1 = jnp.broadcast_to(obstacles.p1[None], (L, K, 3))
+    rb = jnp.broadcast_to(obstacles.radius[None], (L, K))
+    return capsule_capsule_query(a0, a1, ra, b0, b1, rb)
+
+
+def self_collision_pairs(model: KinematicModel, n_neighbors: int = 3):
+    """Static list of (frame_a, frame_b) collision-frame pairs at least
+    n_neighbors apart in the kinematic tree — the reference builds (but
+    disables) the same todo-list via PyBullet (simulation.py:411-441)."""
+    frames = model.collision_frames
+    pairs = []
+    for a in frames:
+        for b in frames:
+            if a == b:
+                continue
+            chain_a, chain_b = model.chain(a), model.chain(b)
+            if a in chain_b[-n_neighbors - 1:] or b in chain_a[-n_neighbors - 1:]:
+                continue
+            if (b, a) in pairs:
+                continue
+            pairs.append((a, b))
+    return tuple(pairs)
+
+
+def robot_self_distances(model: KinematicModel, T_all: Array,
+                         pairs: tuple[tuple[int, int], ...]):
+    """Closest-point queries between the capsules of static frame pairs.
+
+    Returns the same tuple layout as robot_obstacle_distances with leading
+    axis len(pairs).  (Self-avoidance capability — the reference's version
+    is bitrotted/disabled, simulation.py:406-408.)"""
+    p0, p1, radius = link_world_capsules(model, T_all)
+    frames = model.collision_frames
+    pos = {f: i for i, f in enumerate(frames)}
+    ia = jnp.asarray([pos[a] for a, _ in pairs])
+    ib = jnp.asarray([pos[b] for _, b in pairs])
+    return capsule_capsule_query(p0[ia], p1[ia], radius[ia],
+                                 p0[ib], p1[ib], radius[ib])

@@ -1,0 +1,131 @@
+"""Domain randomization of scenes.
+
+Capability parity with reference SceneRandomizer (simulation.py:494-548 and
+its near-duplicate experiments/franka_panda/config/scene_randomization.py):
+cylindrical-coordinate obstacle sampling, robot q/q̇ jitter around the ready
+pose, goal resampling — re-designed functional: every sampler takes a
+jax.random key and returns arrays, so whole batches of randomized
+environments are drawn with one vmapped call on-device.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmp_tpu.models import robots
+from rmp_tpu.ops import geom
+from rmp_tpu.sim.collision import ObstacleSet
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class CylinderSampleSpace:
+    """Reference default_sample_space (simulation.py:495-500)."""
+
+    position_cylindrical_low: tuple = (0.4, 0.0, 0.0)     # (r, phi, z)
+    position_cylindrical_high: tuple = (0.9, 2 * np.pi, 1.0)
+    orientation_low: tuple = (0.0, 0.0, 0.0)
+    orientation_high: tuple = (np.pi, np.pi, np.pi)
+    radius_low: float = 0.05
+    radius_high: float = 0.1
+    height_low: float = 0.5
+    height_high: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotSampleSpace:
+    """Reference default_robot_sample_space (simulation.py:502-506)."""
+
+    q_low: np.ndarray = None
+    q_high: np.ndarray = None
+    qd_low: np.ndarray = None
+    qd_high: np.ndarray = None
+
+    @staticmethod
+    def panda_default() -> "RobotSampleSpace":
+        qr = robots.PANDA_Q_READY
+        return RobotSampleSpace(q_low=qr - 0.1, q_high=qr + 0.1,
+                                qd_low=np.full_like(qr, -0.005),
+                                qd_high=np.full_like(qr, 0.005))
+
+
+GOAL_CYL_LOW = jnp.asarray([0.4, 0.0, 0.0])
+GOAL_CYL_HIGH = jnp.asarray([0.9, 2 * np.pi, 1.0])
+
+
+def _cylindrical_to_cartesian(rpz: Array) -> Array:
+    r, phi, z = rpz[..., 0], rpz[..., 1], rpz[..., 2]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def randomize_obstacles(key: Array, n_obstacles: int,
+                        space: CylinderSampleSpace | None = None) -> ObstacleSet:
+    """Sample n_obstacles cylinders (as capsules) — one env; vmap for batches."""
+    space = space or CylinderSampleSpace()
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    rpz = jax.random.uniform(
+        k1, (n_obstacles, 3),
+        minval=jnp.asarray(space.position_cylindrical_low),
+        maxval=jnp.asarray(space.position_cylindrical_high))
+    center = _cylindrical_to_cartesian(rpz)
+    rpy = jax.random.uniform(
+        k2, (n_obstacles, 3), minval=jnp.asarray(space.orientation_low),
+        maxval=jnp.asarray(space.orientation_high))
+    radius = jax.random.uniform(k3, (n_obstacles,), minval=space.radius_low,
+                                maxval=space.radius_high)
+    height = jax.random.uniform(k4, (n_obstacles,), minval=space.height_low,
+                                maxval=space.height_high)
+    axis_dir = geom.rotation_matrix_from_rpy(rpy)[..., :, 2]
+    half = (height / 2.0)[..., None] * axis_dir
+    return ObstacleSet(p0=center - half, p1=center + half, radius=radius)
+
+
+def randomize_robot_config(key: Array,
+                           space: RobotSampleSpace | None = None):
+    """(q, q̇) jittered around the ready pose."""
+    space = space or RobotSampleSpace.panda_default()
+    kq, kqd = jax.random.split(key)
+    q = jax.random.uniform(kq, (len(space.q_low),),
+                           minval=jnp.asarray(space.q_low),
+                           maxval=jnp.asarray(space.q_high))
+    qd = jax.random.uniform(kqd, (len(space.qd_low),),
+                            minval=jnp.asarray(space.qd_low),
+                            maxval=jnp.asarray(space.qd_high))
+    return q, qd
+
+
+def randomize_goal(key: Array, low: Array = GOAL_CYL_LOW,
+                   high: Array = GOAL_CYL_HIGH) -> Array:
+    """Goal position sampled in cylindrical coordinates
+    (reference simulation.py:543-548)."""
+    rpz = jax.random.uniform(key, (3,), minval=low, maxval=high)
+    return _cylindrical_to_cartesian(rpz)
+
+
+class SceneRandomizer:
+    """Object-style wrapper mirroring the reference class surface
+    (randomize_obstacles / randomize_robot_config / randomize_goal)."""
+
+    def __init__(self, seed: int = 0,
+                 sample_space: CylinderSampleSpace | None = None,
+                 robot_space: RobotSampleSpace | None = None):
+        self._key = jax.random.PRNGKey(seed)
+        self.sample_space = sample_space or CylinderSampleSpace()
+        self.robot_space = robot_space or RobotSampleSpace.panda_default()
+
+    def _next(self) -> Array:
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def randomize_obstacles(self, n_obstacles: int) -> ObstacleSet:
+        return randomize_obstacles(self._next(), n_obstacles, self.sample_space)
+
+    def randomize_robot_config(self):
+        return randomize_robot_config(self._next(), self.robot_space)
+
+    def randomize_goal(self) -> Array:
+        return randomize_goal(self._next())

@@ -6,7 +6,6 @@ sharding/`shard_map` paths are exercised without a TPU slice (SURVEY.md §4).
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell env pins 'axon' (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the shell env pins JAX_PLATFORMS=axon (TPU) and the plugin ignores env-var
+# overrides — config.update is authoritative
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu"

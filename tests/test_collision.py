@@ -1,0 +1,120 @@
+"""Collision distance query tests: closed-form oracles + brute-force sampling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmp_tpu.models import kinematics as K
+from rmp_tpu.models import robots
+from rmp_tpu.sim import collision as C
+
+rng = np.random.default_rng(5)
+
+
+def _j(x):
+    return jnp.asarray(x, jnp.float32)
+
+
+def test_sphere_sphere():
+    a = C.sphere_obstacle([0, 0, 0], 0.1)
+    pos_a, pos_b, n, d = C.capsule_capsule_query(
+        _j([[1.0, 0, 0]]), _j([[1.0, 0, 0]]), _j([0.2]),
+        a.p0, a.p1, a.radius)
+    np.testing.assert_allclose(float(d[0]), 1.0 - 0.3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n)[0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pos_a)[0], [0.8, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pos_b)[0], [0.1, 0, 0], atol=1e-6)
+
+
+def test_capsule_sphere_endpoint_and_interior():
+    # capsule along x from 0 to 1, radius 0.1; sphere at (0.5, 0.5, 0) r=0.05
+    pa, pb, n, d = C.capsule_capsule_query(
+        _j([0, 0, 0]), _j([1, 0, 0]), _j(0.1),
+        _j([0.5, 0.5, 0]), _j([0.5, 0.5, 0]), _j(0.05))
+    np.testing.assert_allclose(float(d), 0.5 - 0.15, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n), [0, -1, 0], atol=1e-5)
+    # sphere beyond endpoint: closest at the cap
+    pa, pb, n, d = C.capsule_capsule_query(
+        _j([0, 0, 0]), _j([1, 0, 0]), _j(0.1),
+        _j([2.0, 0, 0]), _j([2.0, 0, 0]), _j(0.05))
+    np.testing.assert_allclose(float(d), 1.0 - 0.15, atol=1e-6)
+
+
+def test_segment_segment_brute_force():
+    """Random segment pairs: closed form vs dense parameter sampling."""
+    for _ in range(50):
+        a0, a1, b0, b1 = rng.uniform(-1, 1, (4, 3)).astype(np.float32)
+        s, t = C.segment_closest_params(_j(a0), _j(a1), _j(b0), _j(b1))
+        ca = a0 + float(s) * (a1 - a0)
+        cb = b0 + float(t) * (b1 - b0)
+        d = np.linalg.norm(ca - cb)
+        ss, tt = np.meshgrid(np.linspace(0, 1, 101), np.linspace(0, 1, 101))
+        pa = a0[None, None] + ss[..., None] * (a1 - a0)[None, None]
+        pb = b0[None, None] + tt[..., None] * (b1 - b0)[None, None]
+        d_brute = np.linalg.norm(pa - pb, axis=-1).min()
+        assert d <= d_brute + 2e-3, (d, d_brute)
+
+
+def test_penetration_negative_distance():
+    _, _, _, d = C.capsule_capsule_query(
+        _j([0, 0, 0]), _j([1, 0, 0]), _j(0.3),
+        _j([0.5, 0.2, 0]), _j([0.5, 0.2, 0]), _j(0.2))
+    assert float(d) < 0  # 0.2 center distance < 0.5 radii sum
+
+
+def test_cylinder_obstacle_orientation():
+    obs = C.cylinder_obstacle([0, 0, 0.5], [np.pi / 2, 0, 0], radius=0.05,
+                              height=0.4)
+    # rotated pi/2 about x: axis z -> -y... axis direction R @ z
+    axis = np.asarray(obs.p1 - obs.p0)[0]
+    np.testing.assert_allclose(axis, [0, -0.4, 0], atol=1e-6)
+
+
+def test_robot_obstacle_distances_shapes_and_sanity():
+    model = robots.franka_panda()
+    q = _j(robots.PANDA_Q_READY)
+    T_all = K.fk_all(model, q)
+    obs = C.ObstacleSet.of(C.sphere_obstacle([0.5, 0.0, 0.5], 0.05),
+                           C.sphere_obstacle([5.0, 5.0, 5.0], 0.05))
+    pos_l, pos_o, n, d = C.robot_obstacle_distances(model, T_all, obs)
+    L = len(model.collision_frames)
+    assert d.shape == (L, 2)
+    # the far obstacle is ~8.6m away from everything
+    assert np.all(np.asarray(d)[:, 1] > 7.0)
+    # near obstacle: all distances < 1.5 m, none hugely negative
+    assert np.all(np.asarray(d)[:, 0] < 1.5)
+    # normals are unit vectors
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(n), axis=-1),
+                               np.ones((L, 2)), atol=1e-4)
+    # pos_on_link is on the link capsule surface: |pos_l - pos_o| == d (+radii
+    # consistency): center-dist = d + ra + rb by construction
+    gap = np.linalg.norm(np.asarray(pos_l) - np.asarray(pos_o), axis=-1)
+    np.testing.assert_allclose(gap, np.abs(np.asarray(d)), atol=1e-5)
+
+
+def test_distances_differentiable_through_fk():
+    """d(q) must have nonzero, finite gradients (drives obstacle policies)."""
+    model = robots.two_joint_robot()
+    obs = C.sphere_obstacle([1.5, 0.5, 0.1], 0.1)
+
+    def min_dist(q):
+        T_all = K.fk_all(model, q)
+        _, _, _, d = C.robot_obstacle_distances(model, T_all, obs)
+        return jnp.min(d)
+
+    g = np.asarray(jax.grad(min_dist)(_j([0.3, 0.2])))
+    assert np.all(np.isfinite(g))
+    assert np.linalg.norm(g) > 1e-3
+
+
+def test_self_collision_pairs_exclude_neighbors():
+    model = robots.franka_panda()
+    pairs = C.self_collision_pairs(model, n_neighbors=3)
+    assert len(pairs) > 0
+    chains = {i: model.chain(i) for i in range(model.n_frames)}
+    for a, b in pairs:
+        assert a not in chains[b][-4:]
+        assert b not in chains[a][-4:]
+    # query executes and returns finite distances
+    T_all = K.fk_all(model, _j(robots.PANDA_Q_READY))
+    _, _, _, d = C.robot_self_distances(model, T_all, pairs)
+    assert np.all(np.isfinite(np.asarray(d)))

@@ -1,0 +1,156 @@
+"""Dynamics tests — Lagrangian autodiff oracle.
+
+The mass matrix and bias forces from RNEA are validated against a fully
+independent derivation: kinetic/potential energies computed from the (already
+reference-verified) FK, differentiated with JAX:
+    M(q)      = ∂²T/∂q̇²
+    h(q, q̇)  = (∂²T/∂q̇∂q) q̇ − ∂T/∂q + ∂V/∂q
+plus structural invariants (symmetry, PSD) and FD∘ID = identity.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmp_tpu.models import kinematics as K
+from rmp_tpu.models import robots
+from rmp_tpu.models.urdf import ROOT
+from rmp_tpu.sim import dynamics
+
+rng = np.random.default_rng(4)
+
+
+def _energies(model):
+    """Kinetic + potential energy as functions of (q, qd), via FK autodiff."""
+    mass = jnp.asarray(model.mass)
+    com = jnp.asarray(model.com)
+    inertia = jnp.asarray(model.inertia)
+
+    def com_positions(q):
+        T_all = K.fk_all(model, q)                     # (F, 4, 4)
+        return jnp.einsum("fij,fj->fi", T_all[:, :3, :3], com) + T_all[:, :3, 3]
+
+    def rotations(q):
+        return K.fk_all(model, q)[:, :3, :3]
+
+    def kinetic(q, qd):
+        # linear part: 1/2 m v_com^2 with v_com = J_com qd
+        _, v_com = jax.jvp(com_positions, (q,), (qd,))
+        lin = 0.5 * jnp.sum(mass * jnp.sum(v_com * v_com, axis=-1))
+        # angular part: omega from Rdot = [omega]x R -> [omega]x = Rdot R^T
+        R, Rd = jax.jvp(rotations, (q,), (qd,))
+        omega_skew = jnp.einsum("fij,fkj->fik", Rd, R)  # world frame
+        wx = omega_skew[:, 2, 1]
+        wy = omega_skew[:, 0, 2]
+        wz = omega_skew[:, 1, 0]
+        omega_world = jnp.stack([wx, wy, wz], axis=-1)
+        # body-frame omega for body-frame inertia
+        omega_body = jnp.einsum("fji,fj->fi", R, omega_world)
+        ang = 0.5 * jnp.sum(jnp.einsum("fi,fij,fj->f", omega_body, inertia,
+                                       omega_body))
+        return lin + ang
+
+    def potential(q):
+        p = com_positions(q)
+        return jnp.sum(mass * 9.81 * p[:, 2])
+
+    return kinetic, potential
+
+
+def test_mass_matrix_vs_lagrangian():
+    for model in (robots.two_joint_robot(), robots.franka_panda()):
+        kinetic, _ = _energies(model)
+        for _ in range(3):
+            q = jnp.asarray(rng.uniform(-1.2, 1.2, model.n_q), jnp.float32)
+            M_rnea = np.asarray(dynamics.mass_matrix(model, q))
+            M_lagr = np.asarray(jax.hessian(kinetic, argnums=1)(
+                q, jnp.zeros(model.n_q, jnp.float32)))
+            np.testing.assert_allclose(M_rnea, M_lagr, atol=2e-4)
+            # symmetric PSD
+            np.testing.assert_allclose(M_rnea, M_rnea.T, atol=2e-4)
+            assert np.all(np.linalg.eigvalsh(0.5 * (M_rnea + M_rnea.T)) > -1e-5)
+
+
+def test_bias_forces_vs_lagrangian():
+    for model in (robots.two_joint_robot(), robots.franka_panda()):
+        kinetic, potential = _energies(model)
+
+        def bias_lagr(q, qd):
+            # h = (d/dq (∂T/∂q̇)) q̇ − ∂T/∂q + ∂V/∂q  (model damping is zero
+            # for both robots' URDFs; RNEA adds damping*qd on top)
+            dT_dqd = jax.grad(kinetic, argnums=1)
+            term1 = jax.jvp(lambda qq: dT_dqd(qq, qd), (q,), (qd,))[1]
+            term2 = jax.grad(kinetic, argnums=0)(q, qd)
+            term3 = jax.grad(potential)(q)
+            return term1 - term2 + term3
+
+        for _ in range(3):
+            q = jnp.asarray(rng.uniform(-1.2, 1.2, model.n_q), jnp.float32)
+            qd = jnp.asarray(rng.uniform(-1.0, 1.0, model.n_q), jnp.float32)
+            h_rnea = np.asarray(dynamics.bias_forces(model, q, qd))
+            damping = np.asarray(model.joint_damping) * np.asarray(qd)
+            h_l = np.asarray(bias_lagr(q, qd)) + damping
+            np.testing.assert_allclose(h_rnea, h_l, atol=5e-3)
+
+
+def test_forward_inverse_consistency():
+    """FD(q, q̇, ID(q, q̇, q̈)) == q̈ — the exact-tracking property the
+    reference's control loop relies on (simulation.py:369-381)."""
+    model = robots.franka_panda()
+    q = jnp.asarray(rng.uniform(-1.0, 1.0, model.n_q), jnp.float32)
+    qd = jnp.asarray(rng.uniform(-0.5, 0.5, model.n_q), jnp.float32)
+    qdd = jnp.asarray(rng.uniform(-1.0, 1.0, model.n_q), jnp.float32)
+    tau = dynamics.inverse_dynamics(model, q, qd, qdd)
+    qdd_back = np.asarray(dynamics.forward_dynamics(model, q, qd, tau))
+    np.testing.assert_allclose(qdd_back, np.asarray(qdd), atol=1e-2)
+
+
+def test_gravity_torques_two_link_analytic():
+    """Static gravity torques of the planar arm (gravity along -z; the arm
+    moves in the x-y plane, so static torques are zero — then tilt gravity
+    along -y to get the textbook formula with point masses at the joints
+    (URDF coms are at the joint origins)."""
+    model = robots.two_joint_robot()
+    q = jnp.asarray([0.3, -0.7], jnp.float32)
+    zero = jnp.zeros(2, jnp.float32)
+    tau_z = np.asarray(dynamics.inverse_dynamics(model, q, zero, zero))
+    np.testing.assert_allclose(tau_z, np.zeros(2), atol=1e-5)
+    # gravity along -y: m2 hangs at distance l1 from joint 1 (com at joint 2),
+    # link_23_cyl mass m3 at l1 + l2*dir(q1+q2)
+    g = jnp.asarray([0.0, -9.81, 0.0])
+    tau_y = np.asarray(dynamics.inverse_dynamics(model, q, zero, zero,
+                                                 gravity=g))
+    m2, m3 = 0.5, 0.2
+    q1, q2 = 0.3, -0.7
+    # torque about z at joint 1: sum m_i g x_i (x = horizontal moment arm)
+    x2 = np.cos(q1)            # joint-2 origin
+    x3 = np.cos(q1) + np.cos(q1 + q2)
+    tau1 = 9.81 * (m2 * x2 + m3 * x3)
+    tau2 = 9.81 * (m3 * np.cos(q1 + q2))
+    np.testing.assert_allclose(tau_y, [tau1, tau2], rtol=1e-4)
+
+
+def test_semi_implicit_euler_and_limits():
+    model = robots.two_joint_robot()
+    q = jnp.asarray([3.1, 0.0], jnp.float32)
+    qd = jnp.asarray([5.0, 1.0], jnp.float32)
+    qdd = jnp.asarray([30.0, 0.0], jnp.float32)
+    q1, qd1 = dynamics.semi_implicit_euler_step(model, q, qd, qdd, dt=0.01)
+    # joint 0 hits its 3.14 limit -> clamped, outward velocity zeroed
+    assert float(q1[0]) <= 3.14 + 1e-6
+    assert float(qd1[0]) == 0.0
+    # joint 1 integrates normally: qd += qdd dt; q += qd_new dt
+    np.testing.assert_allclose(float(qd1[1]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(q1[1]), 0.01, atol=1e-6)
+
+
+def test_dynamics_vmaps():
+    model = robots.franka_panda()
+    qs = jnp.asarray(rng.uniform(-1, 1, (8, model.n_q)), jnp.float32)
+    qds = jnp.asarray(rng.uniform(-1, 1, (8, model.n_q)), jnp.float32)
+    h = jax.jit(jax.vmap(lambda q, qd: dynamics.bias_forces(model, q, qd)))(
+        qs, qds)
+    assert h.shape == (8, model.n_q)
+    assert np.all(np.isfinite(np.asarray(h)))
+    np.testing.assert_allclose(
+        np.asarray(h)[2],
+        np.asarray(dynamics.bias_forces(model, qs[2], qds[2])), atol=1e-4)

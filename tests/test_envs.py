@@ -1,0 +1,150 @@
+"""Integration tests: the reference experiment scenarios reach their goals.
+
+The reference has no integration tests; its experiments embed `is_solved`
+distance checks (e.g. 06_cluttered_environment.py:128). Here each env rolls
+out jitted and must actually solve.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rmp_tpu import envs
+from rmp_tpu.envs.base import make_control_step, make_rollout
+
+
+def _run(env, n_ticks, seed=0):
+    state = env.reset(jax.random.PRNGKey(seed))
+    rollout = jax.jit(lambda s, p: make_rollout(env, n_ticks)(s, p))
+    final, aux = rollout(state, env.gather_params())
+    return final, jax.tree.map(np.asarray, aux)
+
+
+def test_two_joint_01_reaches_goal():
+    env = envs.make("two_joint/01_target_rmp_only")
+    final, aux = _run(env, 300)  # 30 s at 10 Hz control
+    assert aux["solved"].any(), "target never reached"
+    assert np.isfinite(aux["qdd"]).all()
+
+
+def test_two_joint_02_biasing_changes_elbow():
+    left = envs.two_joint.env_02_jointspace_biasing(bias_left=True)
+    right = envs.two_joint.env_02_jointspace_biasing(bias_left=False)
+    f_left, aux_l = _run(left, 300)
+    f_right, aux_r = _run(right, 300)
+    assert aux_l["solved"].any() and aux_r["solved"].any()
+    # redundancy resolved differently: elbow (q1) signs differ
+    assert float(f_left.sim.q[0]) > 0 > float(f_right.sim.q[0])
+
+
+def test_two_joint_03_jointlimit_recovers_to_midrange():
+    env = envs.make("two_joint/03_jointlimit_avoiding")
+    final, aux = _run(env, 300)
+    # limit-avoidance alone damps the arm; it must end strictly inside limits
+    q = np.asarray(final.sim.q)
+    assert np.all(q > env.model.q_lower) and np.all(q < env.model.q_upper)
+    assert np.isfinite(aux["qdd"]).all()
+
+
+def test_two_joint_04_limits_hold():
+    env = envs.make("two_joint/04_driving_into_jointlimits")
+    final, aux = _run(env, 300)
+    q = np.asarray(final.sim.q)
+    assert np.all(q >= env.model.q_lower - 1e-4)
+    assert np.all(q <= env.model.q_upper + 1e-4)
+
+
+def test_two_joint_05_avoids_obstacle_and_reaches_goal():
+    env = envs.make("two_joint/05_obstacle_avoidance")
+    state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(make_control_step(env))
+    params = env.gather_params()
+    min_clearance = np.inf
+    solved = False
+    from rmp_tpu.models import kinematics as K
+    from rmp_tpu.sim.collision import robot_obstacle_distances
+    for _ in range(600):
+        state, aux = step(state, params)
+        T_all = K.fk_all(env.model, state.sim.q)
+        _, _, _, d = robot_obstacle_distances(env.model, T_all,
+                                              state.sim.obstacles)
+        min_clearance = min(min_clearance, float(jnp.min(d)))
+        solved = solved or bool(aux["solved"])
+        if solved:
+            break
+    assert solved, "goal not reached around the obstacle"
+    assert min_clearance > -0.01, f"robot penetrated obstacle: {min_clearance}"
+
+
+def test_franka_01_reaches_goal():
+    env = envs.make("franka/01_target_rmp_only")
+    final, aux = _run(env, 300)
+    assert aux["solved"].any()
+    assert np.isfinite(aux["qdd"]).all()
+
+
+def test_franka_04_nullspace_biasing_moves_elbow_not_ee():
+    env = envs.make("franka/04_nullspace_control")
+    state = env.reset(jax.random.PRNGKey(0))
+    ee0 = np.asarray(envs.base.ee_position(env, state.sim))
+    q0 = np.asarray(state.sim.q)
+    final, aux = _run(env, 200)
+    ee1 = np.asarray(envs.base.ee_position(env, final.sim))
+    # EE stays at the goal (it starts there via IK)...
+    np.testing.assert_allclose(ee1, np.asarray(final.sim.goal), atol=0.05)
+    # ...while the configuration drifts toward q0 in the nullspace
+    assert np.linalg.norm(np.asarray(final.sim.q) - q0) > 0.05
+
+
+def test_franka_05_avoids_obstacle():
+    env = envs.make("franka/05_obstacle_avoidance")
+    state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(make_control_step(env))
+    params = env.gather_params()
+    from rmp_tpu.models import kinematics as K
+    from rmp_tpu.sim.collision import robot_obstacle_distances
+    min_clearance = np.inf
+    solved = False
+    for _ in range(400):
+        state, aux = step(state, params)
+        T_all = K.fk_all(env.model, state.sim.q)
+        _, _, _, d = robot_obstacle_distances(env.model, T_all,
+                                              state.sim.obstacles)
+        min_clearance = min(min_clearance, float(jnp.min(d)))
+        solved = solved or bool(aux["solved"])
+        if solved:
+            break
+    assert solved, "goal not reached"
+    assert min_clearance > -0.01, f"penetration: {min_clearance}"
+
+
+def test_franka_06_cluttered_reaches_multiple_goals():
+    env = envs.make("franka/06_cluttered_environment")
+    final, aux = _run(env, 1200)
+    # the flagship demo: should advance through several of the 6 goals
+    assert int(final.solved_count) >= 2, \
+        f"only {int(final.solved_count)} goals reached"
+    assert np.isfinite(aux["qdd"]).all()
+
+
+def test_franka_03_self_avoidance_runs():
+    env = envs.make("franka/03_self_avoidance")
+    final, aux = _run(env, 50)
+    assert np.isfinite(aux["qdd"]).all()
+
+
+def test_batched_rollout_matches_single():
+    env = envs.make("franka/01_target_rmp_only")
+    params = env.gather_params()
+    batched = jax.jit(lambda s, p: envs.make_batched_rollout(env, 20)(s, p))
+    keys = jax.random.PRNGKey(1)
+    states = envs.make_batched_reset(env, 4)(keys)
+    finals, aux = batched(states, params)
+    assert np.asarray(finals.sim.q).shape == (4, env.model.n_q)
+    # deterministic resets -> identical rows until goal resampling kicks in
+    single_final, _ = jax.jit(lambda s, p: envs.make_rollout(env, 20)(s, p))(
+        jax.tree.map(lambda x: x[0], states), params)
+    np.testing.assert_allclose(np.asarray(finals.sim.q)[0],
+                               np.asarray(single_final.sim.q), atol=1e-5)
