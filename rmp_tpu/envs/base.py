@@ -76,6 +76,7 @@ class Env:
     solved_tol: float = 0.02
     solved_xy_only: bool = False
     resolve_method: str = "pinv"
+    derivatives: str = "analytic"
     torque_mode: bool = False
     on_solved: Callable[[EnvState], EnvState] | None = None
     bind_params: Callable[[tuple, SimState], tuple] | None = None
@@ -131,7 +132,8 @@ def make_control_step(env: Env):
         ctxs = tuple(frame_ctx.get(p.ctx_key) if getattr(p, "ctx_key", None)
                      else None for p in policies)
         qdd = evaluate_policies(policies, q, qd, params, ctxs,
-                                method=env.resolve_method)
+                                method=env.resolve_method,
+                                derivatives=env.derivatives)
 
         def substep(s, _):
             return physics_step(model, s, qdd, env.dt,

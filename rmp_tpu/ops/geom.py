@@ -18,13 +18,28 @@ Array = jax.Array
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
+_SMALL = 8
+
+
 def mm(a: Array, b: Array) -> Array:
-    """Batched matmul at HIGHEST precision (true fp32 on TPU)."""
+    """Batched matmul, true fp32.
+
+    For tiny static inner dims (<= 8, e.g. the 4x4 chain products that
+    dominate this workload) the product is lowered as broadcast
+    multiply-reduce on the VPU: XLA fuses whole chains of these into a few
+    kernels, whereas tiny `dot` ops each become a separate latency-bound
+    MXU dispatch (~100x slower end-to-end for the FK derivative sweep).
+    """
+    if (a.shape[-1] <= _SMALL and a.shape[-2] <= _SMALL
+            and b.shape[-1] <= _SMALL):
+        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
     return jnp.matmul(a, b, precision=HIGHEST)
 
 
 def mv(a: Array, v: Array) -> Array:
-    """Batched matrix-vector product at HIGHEST precision."""
+    """Batched matrix-vector product, true fp32 (VPU path for tiny dims)."""
+    if a.shape[-1] <= _SMALL and a.shape[-2] <= _SMALL:
+        return jnp.sum(a * v[..., None, :], axis=-1)
     return jnp.einsum("...ij,...j->...i", a, v, precision=HIGHEST)
 
 

@@ -32,6 +32,9 @@ Capability parity with reference taskmap.py:6-168:
 """
 from __future__ import annotations
 
+import dataclasses
+from typing import Callable
+
 import jax
 import jax.numpy as jnp
 
@@ -42,51 +45,79 @@ from rmp_tpu.ops import geom
 Array = jax.Array
 
 
+@dataclasses.dataclass(frozen=True)
+class Taskmap:
+    """A taskmap: callable (q, ctx) -> x (P, d).
+
+    FK-rooted taskmaps additionally expose (model, frame_idx, post) so the
+    combine engine can compute `fk_all` ONCE per evaluation and feed every
+    policy's downstream map from the shared frame transforms (the reference
+    re-runs the whole FK graph per policy per tick, rmp.py:142-159) —
+    `post(T16 (1,16), ctx) -> (P, d)` is the part after the FK frame.
+    """
+
+    fn: Callable
+    model: KinematicModel | None = None
+    frame_idx: int | None = None
+    post: Callable | None = None
+    is_identity: bool = False
+
+    def __call__(self, q, ctx=None):
+        return self.fn(q, ctx)
+
+    @property
+    def fk_rooted(self) -> bool:
+        return self.post is not None
+
+
 # ---------------------------------------------------------------------------
-# Constructors. Each returns fn(v, ctx) -> (P, d).
+# Constructors. Each returns a Taskmap whose fn maps (v, ctx) -> (P, d).
 # ---------------------------------------------------------------------------
 
 
-def identity():
+def identity() -> Taskmap:
     """q -> q, as a (1, n_q) row."""
     def fn(q, ctx):
         del ctx
         return q[None, :]
-    return fn
+    return Taskmap(fn, is_identity=True)
 
 
-def fk_frame(model: KinematicModel, frame: str | int):
+def fk_frame(model: KinematicModel, frame: str | int) -> Taskmap:
     """q -> flattened world 4x4 of `frame`: (1, 16)."""
     idx = model.frame_index(frame) if isinstance(frame, str) else frame
 
     def fn(q, ctx):
         del ctx
         return kinematics.fk_frame(model, q, idx).reshape(1, 16)
-    return fn
+    return Taskmap(fn, model=model, frame_idx=idx,
+                   post=lambda T16, ctx: T16)
 
 
-def from_function(forward_fn):
+def from_function(forward_fn) -> Taskmap:
     """Wrap an arbitrary (v, ctx) -> (P, d) map."""
-    return forward_fn
+    if isinstance(forward_fn, Taskmap):
+        return forward_fn
+    return Taskmap(forward_fn)
 
 
-def to_position():
+def to_position() -> Taskmap:
     """(P, 16) flattened 4x4 -> (P, 3) translation."""
     def fn(x, ctx):
         del ctx
         return x.reshape(-1, 4, 4)[:, :3, 3]
-    return fn
+    return Taskmap(fn)
 
 
-def to_euler():
+def to_euler() -> Taskmap:
     """(P, 16) flattened 4x4 -> (P, 3) extrinsic-XYZ euler angles."""
     def fn(x, ctx):
         del ctx
         return geom.euler_from_rotation_matrix(x.reshape(-1, 4, 4)[:, :3, :3])
-    return fn
+    return Taskmap(fn)
 
 
-def to_quaternion():
+def to_quaternion() -> Taskmap:
     """(P, 16) flattened 4x4 -> (P, 4) quaternion (x, y, z, w).
 
     The reference stubbed this map (taskmap.py:70-77); implemented here via
@@ -96,10 +127,10 @@ def to_quaternion():
     def fn(x, ctx):
         del ctx
         return geom.quaternion_from_rotation_matrix(x.reshape(-1, 4, 4)[:, :3, :3])
-    return fn
+    return Taskmap(fn)
 
 
-def relative_offsets(ctx_field: str = "relative_position"):
+def relative_offsets(ctx_field: str = "relative_position") -> Taskmap:
     """(1, 16) frame 4x4 -> (P, 16): frame composed with P pure-translation
     offsets taken from ctx[ctx_field] (P, 3) (expressed in the frame).
 
@@ -112,11 +143,11 @@ def relative_offsets(ctx_field: str = "relative_position"):
         T_rel = geom.hom(eye, offs)                 # (P, 4, 4)
         T = geom.mm(jnp.broadcast_to(T_ref, T_rel.shape), T_rel)
         return T.reshape(-1, 16)
-    return fn
+    return Taskmap(fn)
 
 
 def frame_to_point_distance(link_field: str = "pos_on_link",
-                            obstacle_field: str = "pos_on_obstacle"):
+                            obstacle_field: str = "pos_on_obstacle") -> Taskmap:
     """(1, 16) frame 4x4 -> (P, 1) distances from per-pair body points to
     per-pair obstacle points.
 
@@ -134,20 +165,37 @@ def frame_to_point_distance(link_field: str = "pos_on_link",
         critical = p_joint + offset
         d = jnp.linalg.norm(critical - pos_on_obstacle, axis=-1)
         return d[:, None]
-    return fn
+    return Taskmap(fn)
 
 
-def chain(*maps):
+def chain(*maps) -> Taskmap:
     """Compose taskmaps left-to-right: chain(f, g)(q, ctx) = g(f(q, ctx), ctx).
 
     Reference chain_taskmaps (taskmap.py:142-168); here composition is plain —
     autodiff of the composite reproduces J = J2 J1 and c = c2 + J2 c1.
+    If the head map is FK-rooted, the chained map stays FK-rooted with the
+    downstream maps folded into `post`, so the combine engine shares one
+    fk_all across all policies.
     """
+    maps = tuple(from_function(m) for m in maps)
+
     def fn(v, ctx):
         for m in maps:
-            v = m(v, ctx)
+            v = m.fn(v, ctx)
         return v
-    return fn
+
+    head = maps[0]
+    if head.fk_rooted:
+        tail = maps[1:]
+
+        def post(T16, ctx):
+            v = head.post(T16, ctx)
+            for m in tail:
+                v = m.fn(v, ctx)
+            return v
+        return Taskmap(fn, model=head.model, frame_idx=head.frame_idx,
+                       post=post)
+    return Taskmap(fn)
 
 
 def differentiate(taskmap_fn, q: Array, qd: Array, ctx=None):
