@@ -21,6 +21,13 @@ import jax.numpy as jnp
 
 
 def main():
+    # persistent compilation cache: the 4096-env rollout takes minutes of
+    # Mosaic compile time on a single-core host; re-runs hit the cache
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     batch = int(os.environ.get("RMP_BENCH_BATCH", "4096"))
     ticks = int(os.environ.get("RMP_BENCH_TICKS", "50"))
     reps = int(os.environ.get("RMP_BENCH_REPS", "5"))

@@ -87,8 +87,10 @@ def _taskmap_derivatives_jacfwd(policies, q, qd, ctxs):
         for p, ctx in zip(policies, ctxs):
             tmap = p.taskmap
             if getattr(tmap, "fk_rooted", False):
-                outs.append(tmap.post(
-                    T16[id(tmap.model)][tmap.frame_idx][None, :], ctx))
+                i = tmap.frame_idx
+                T = (T16[id(tmap.model)][jnp.asarray(i)] if isinstance(i, tuple)
+                     else T16[id(tmap.model)][i][None, :])
+                outs.append(tmap.post(T, ctx))
             else:
                 outs.append(tmap(qq, ctx))
         return tuple(outs)
@@ -100,21 +102,23 @@ def _taskmap_derivatives_jacfwd(policies, q, qd, ctxs):
     return x_all, xd_all, J_all, c_all
 
 
-def _post_chain(post, T16_row, Td_row, Jcols, c_row, ctx):
-    """Chain (x, ẋ, J, c) of frame derivatives through a post map h(T16):
+def _post_chain(post, T_blk, Td_blk, Jcols, c_blk, ctx):
+    """Chain (x, ẋ, J, c) of frame derivatives through a post map h(T16s):
 
         x  = h(T)            ẋ = Dh[Ṫ]
         J  = Dh ∘ J_T        c = Dh[T̈] + D²h[Ṫ, Ṫ]
 
-    Dh applications are jvp's of the tiny post map only (the FK chain is
-    already differentiated analytically)."""
-    h = lambda t: post(t[None, :], ctx)
-    x, xd = jax.jvp(h, (T16_row,), (Td_row,))
-    J = jax.vmap(lambda v: jax.jvp(h, (T16_row,), (v,))[1],
-                 in_axes=1, out_axes=-1)(Jcols)
-    g = lambda t: jax.jvp(h, (t,), (Td_row,))[1]
-    _, quad = jax.jvp(g, (T16_row,), (Td_row,))
-    c = jax.jvp(h, (T16_row,), (c_row,))[1] + quad
+    T_blk/Td_blk/c_blk: (L, 16); Jcols: (L, 16, n) — L frame rows feeding the
+    post (L = 1 for single-frame taskmaps). Dh applications are jvp's of the
+    tiny post map only (the FK chain is already differentiated
+    analytically)."""
+    h = lambda t: post(t, ctx)
+    x, xd = jax.jvp(h, (T_blk,), (Td_blk,))
+    J = jax.vmap(lambda v: jax.jvp(h, (T_blk,), (v,))[1],
+                 in_axes=2, out_axes=-1)(Jcols)
+    g = lambda t: jax.jvp(h, (t,), (Td_blk,))[1]
+    _, quad = jax.jvp(g, (T_blk,), (Td_blk,))
+    c = jax.jvp(h, (T_blk,), (c_blk,))[1] + quad
     return x, xd, J, c
 
 
@@ -141,8 +145,12 @@ def _taskmap_derivatives_analytic(policies, q, qd, ctxs):
         if getattr(tmap, "fk_rooted", False):
             T16, Td16, J16, c16 = fk[id(tmap.model)]
             i = tmap.frame_idx
-            x, xd, J, c = _post_chain(tmap.post, T16[i], Td16[i], J16[i],
-                                      c16[i], ctx)
+            if isinstance(i, tuple):
+                sel = list(i)
+                blk = (T16[sel, :], Td16[sel, :], J16[sel, :, :], c16[sel, :])
+            else:
+                blk = (T16[i][None], Td16[i][None], J16[i][None], c16[i][None])
+            x, xd, J, c = _post_chain(tmap.post, *blk, ctx)
         elif getattr(tmap, "is_identity", False):
             x, xd, J, c = q[None, :], qd[None, :], eye, zeros
         else:

@@ -82,6 +82,7 @@ class Env:
     bind_params: Callable[[tuple, SimState], tuple] | None = None
     check_velocity: float | None = None   # also require |q̇| < this
     context_fn: Callable[[KinematicModel, SimState], dict] | None = None
+    unroll_substeps: bool = True
 
     def gather_params(self) -> tuple:
         return tuple(p.params for p in self.policies)
@@ -135,10 +136,20 @@ def make_control_step(env: Env):
                                 method=env.resolve_method,
                                 derivatives=env.derivatives)
 
-        def substep(s, _):
-            return physics_step(model, s, qdd, env.dt,
-                                torque_mode=env.torque_mode), None
-        sim, _ = jax.lax.scan(substep, sim, None, length=env.control_every)
+        if env.unroll_substeps:
+            # unrolled at trace time: the substep body is tiny and
+            # elementwise, so unrolling lets XLA fuse all `control_every`
+            # integrator steps into a handful of kernels (lax.scan forces
+            # per-iteration dispatch) — at some TPU compile-time cost
+            for _ in range(env.control_every):
+                sim = physics_step(model, sim, qdd, env.dt,
+                                   torque_mode=env.torque_mode)
+        else:
+            def substep(s, _):
+                return physics_step(model, s, qdd, env.dt,
+                                    torque_mode=env.torque_mode), None
+            sim, _ = jax.lax.scan(substep, sim, None,
+                                  length=env.control_every)
 
         state = dataclasses.replace(state, sim=sim, steps=state.steps + 1)
         solved = is_solved(env, sim) if sim.goal is not None else jnp.asarray(False)

@@ -78,22 +78,38 @@ def _v2_policy_stack(model, goal, attractor_p_gain, attractor_d_gain,
     return policies
 
 
-def _obstacle_policies(model):
-    """Per-collision-frame ObstacleAvoidance on FK∘distance chains
-    (05_obstacle_avoidance.py:69-92)."""
+def _obstacle_policies(model, grouped: bool = True):
+    """ObstacleAvoidance over every collision frame on FK∘distance chains
+    (05_obstacle_avoidance.py:69-92).
+
+    grouped=True (default): ONE multi-frame policy covering all collision
+    links x obstacle pairs — mathematically identical to the reference's
+    per-frame policy list (the pullback sums over pairs either way) but
+    emits a single fused computation. grouped=False reproduces the
+    reference's per-frame policy structure.
+    """
+    kw = dict(margin=0.0, damping_gain=50, damping_std_dev=0.04,
+              damping_robustness_eps=0.01,
+              damping_velocity_gate_length_scale=0.01, repulsion_gain=800,
+              repulsion_std_dev=0.01, metric_modulation_radius=0.5,
+              metric_scalar=1, metric_exploder_std_dev=0.02,
+              metric_exploder_eps=0.001)
+    if grouped:
+        from rmp_tpu.sim.data import PAIRS_KEY
+        taskmap = tm.chain(
+            tm.multi_fk_frames(model, model.collision_frames),
+            tm.frames_to_point_distance())
+        pol = v2.obstacle_avoidance(taskmap=taskmap,
+                                    name="collision_avoidance", **kw)
+        pol.ctx_key = PAIRS_KEY
+        return [pol]
     out = []
     for i in model.collision_frames:
         frame = model.frame_names[i]
         taskmap = tm.chain(tm.fk_frame(model, frame),
                            tm.frame_to_point_distance())
         pol = v2.obstacle_avoidance(
-            taskmap=taskmap, margin=0.0, damping_gain=50, damping_std_dev=0.04,
-            damping_robustness_eps=0.01,
-            damping_velocity_gate_length_scale=0.01, repulsion_gain=800,
-            repulsion_std_dev=0.01, metric_modulation_radius=0.5,
-            metric_scalar=1, metric_exploder_std_dev=0.02,
-            metric_exploder_eps=0.001,
-            name=f"collision_avoidance_for_{frame}")
+            taskmap=taskmap, name=f"collision_avoidance_for_{frame}", **kw)
         pol.ctx_key = frame
         out.append(pol)
     return out

@@ -152,20 +152,20 @@ def env_05_obstacle_avoidance() -> Env:
     """experiments/two_joint_robot/05_obstacle_avoidance.py — target RMP plus
     a per-frame v1 CollisionAvoidance on FK∘relative-offset∘position chains."""
     model = MODEL()
-    policies = [
+    from rmp_tpu.sim.data import PAIRS_KEY
+    grouped = v1.collision_avoidance(
+        taskmap=tm.chain(tm.multi_fk_frames(model, model.collision_frames),
+                         tm.frames_relative_offsets(), tm.to_position()),
+        eta_rep=0.1 * np.e, nu_rep=0.3, eta_damp=1.0, nu_damp=0.3, r=1.1,
+        c=1e5, name="collision_avoidance")
+    grouped.ctx_key = PAIRS_KEY
+    policies = (
         v1.target_policy(goal=[1.4, -1.4, 0.1], taskmap=_ee_pos_taskmap(model),
                          alpha=0.1, beta=0.1, c=0.1, name="target"),
-    ]
-    for frame in model.frame_names:
-        taskmap = tm.chain(tm.fk_frame(model, frame), tm.relative_offsets(),
-                           tm.to_position())
-        pol = v1.collision_avoidance(
-            taskmap=taskmap, eta_rep=0.1 * np.e, nu_rep=0.3, eta_damp=1.0,
-            nu_damp=0.3, r=1.1, c=1e5,
-            name=f"collision_avoidance_for_{frame}")
-        pol.ctx_key = frame
-        policies.append(pol)
-    policies = tuple(policies)
+        # one grouped policy over all (collision frame x obstacle) pairs —
+        # identical math to the reference's per-frame CollisionAvoidance list
+        grouped,
+    )
 
     obstacle = cylinder_obstacle([1.6, -0.8, 0.0], [0.0, 0.0, 0.0],
                                  radius=0.1, height=0.8)

@@ -55,8 +55,8 @@ def target_policy(goal, taskmap, alpha, beta, c, name="Target_RMP",
 
 
 def _collision_motion(params, x, xd, ctx):
-    d = ctx["distance"]                                      # (P,)
-    vec = ctx["normal"]                                      # (P, 3)
+    d = ctx["distance"].reshape(-1)                          # (P,)
+    vec = ctx["normal"].reshape(-1, 3)                       # (P, 3)
     alpha_rep = params["eta_rep"] * jnp.exp(-d / params["nu_rep"])
     f_rep = alpha_rep[:, None] * vec
     alpha_damp = params["eta_damp"] / (d / params["nu_damp"] + 1e-6)
@@ -68,10 +68,10 @@ def _collision_motion(params, x, xd, ctx):
 
 def _collision_accel_metric(params, x, xd, ctx):
     a = _collision_motion(params, x, xd, ctx)
-    d = ctx["distance"]
+    d = ctx["distance"].reshape(-1)
     w = cubic_spline_weight(d, params["r"])                  # (P,)
     if "mask" in ctx:
-        w = w * ctx["mask"]
+        w = w * ctx["mask"].reshape(-1)
     H = directionally_stretched_metric(a, beta=0.0, c=params["c"])
     M = w[:, None, None] * H
     return a, M

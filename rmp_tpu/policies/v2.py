@@ -126,7 +126,7 @@ def _obstacle_accel_metric(params, x, xd, ctx):
     a = a_repel + a_damp
     metric = jnp.where(x > r, jnp.zeros_like(metric), (1.0 - sig) * metric)
     if ctx is not None and "mask" in ctx:
-        metric = metric * ctx["mask"][:, None]
+        metric = metric * ctx["mask"].reshape(-1)[:, None]
     M = metric[..., None]                                     # (P, 1, 1)
     return a, M
 

@@ -28,23 +28,32 @@ from rmp_tpu.sim.collision import ObstacleSet, robot_obstacle_distances
 Array = jax.Array
 
 
+PAIRS_KEY = "__pairs__"
+
+
 def distance_context(model: KinematicModel, T_all: Array,
                      obstacles: ObstacleSet) -> dict[str, dict[str, Array]]:
-    """dict frame_name -> ctx for every collision frame (static keys)."""
+    """dict frame_name -> ctx for every collision frame (static keys), plus a
+    stacked entry under PAIRS_KEY with the raw (L, K, ...) arrays for grouped
+    multi-frame policies (one policy over all collision links)."""
     pos_on_link, pos_on_obstacle, normal, distance = \
         robot_obstacle_distances(model, T_all, obstacles)      # (L, K, ...)
-    out = {}
+    frames = jnp.asarray(model.collision_frames)
+    T = T_all[frames]                                          # (L, 4, 4)
+    R_joint_base = jnp.swapaxes(T[:, :3, :3], -1, -2)
+    rel = geom.mv(R_joint_base[:, None],
+                  pos_on_link - T[:, None, :3, 3])             # (L, K, 3)
+    mask = jnp.ones_like(distance)
+    out = {PAIRS_KEY: dict(
+        pos_on_link=pos_on_link, pos_on_obstacle=pos_on_obstacle,
+        normal=normal, distance=distance, relative_position=rel, mask=mask)}
     for row, frame_idx in enumerate(model.collision_frames):
-        T = T_all[frame_idx]
-        p_joint = T[:3, 3]
-        R_joint_base = T[:3, :3].T
-        rel = geom.mv(R_joint_base, pos_on_link[row] - p_joint)  # (K, 3)
         out[model.frame_names[frame_idx]] = dict(
             pos_on_link=pos_on_link[row],
             pos_on_obstacle=pos_on_obstacle[row],
             normal=normal[row],
             distance=distance[row],
-            relative_position=rel,
-            mask=jnp.ones_like(distance[row]),
+            relative_position=rel[row],
+            mask=mask[row],
         )
     return out

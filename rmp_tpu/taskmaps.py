@@ -101,6 +101,57 @@ def from_function(forward_fn) -> Taskmap:
     return Taskmap(forward_fn)
 
 
+def multi_fk_frames(model: KinematicModel, frames) -> Taskmap:
+    """q -> flattened world 4x4s of several frames at once: (L, 16).
+
+    Lets one policy cover many frames (e.g. one obstacle-avoidance policy
+    over all collision links x all obstacles) so the combine engine emits one
+    fused computation instead of L near-identical per-frame graphs.
+    """
+    idxs = tuple(model.frame_index(f) if isinstance(f, str) else f
+                 for f in frames)
+
+    def fn(q, ctx):
+        del ctx
+        T_all = kinematics.fk_all(model, q)
+        return jnp.stack([T_all[i] for i in idxs]).reshape(len(idxs), 16)
+    return Taskmap(fn, model=model, frame_idx=idxs,
+                   post=lambda T16s, ctx: T16s)
+
+
+def frames_to_point_distance(link_field: str = "pos_on_link",
+                             obstacle_field: str = "pos_on_obstacle") -> Taskmap:
+    """(L, 16) frames -> (L*K, 1) distances to per-(frame, pair) obstacle
+    points; the grouped version of frame_to_point_distance (same frozen-offset
+    trick). ctx fields are (L, K, 3) in base frame."""
+    def fn(x, ctx):
+        pos_on_link = ctx[link_field]                 # (L, K, 3)
+        pos_on_obstacle = ctx[obstacle_field]         # (L, K, 3)
+        L, K, _ = pos_on_link.shape
+        T = x.reshape(L, 4, 4)
+        p_joint = jnp.broadcast_to(T[:, None, :3, 3], pos_on_link.shape)
+        offset = jax.lax.stop_gradient(pos_on_link - p_joint)
+        critical = p_joint + offset
+        d = jnp.linalg.norm(critical - pos_on_obstacle, axis=-1)  # (L, K)
+        return d.reshape(L * K, 1)
+    return Taskmap(fn)
+
+
+def frames_relative_offsets(ctx_field: str = "relative_position") -> Taskmap:
+    """(L, 16) frames -> (L*K, 16): each frame composed with its K
+    pure-translation offsets from ctx[ctx_field] (L, K, 3) (frame coords);
+    grouped version of relative_offsets."""
+    def fn(x, ctx):
+        offs = ctx[ctx_field]                         # (L, K, 3)
+        L, K, _ = offs.shape
+        T_ref = x.reshape(L, 1, 4, 4)
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), (L, K, 3, 3))
+        T_rel = geom.hom(eye, offs)                   # (L, K, 4, 4)
+        T = geom.mm(jnp.broadcast_to(T_ref, T_rel.shape), T_rel)
+        return T.reshape(L * K, 16)
+    return Taskmap(fn)
+
+
 def to_position() -> Taskmap:
     """(P, 16) flattened 4x4 -> (P, 3) translation."""
     def fn(x, ctx):

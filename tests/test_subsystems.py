@@ -1,0 +1,143 @@
+"""Auxiliary subsystems: sharded rollouts, checkpointing, randomizer, IK,
+Simulation wrapper, renderer."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmp_tpu import envs
+from rmp_tpu.models import robots
+from rmp_tpu.models.ik import inverse_kinematics
+from rmp_tpu.parallel import make_mesh, make_sharded_rollout, shard_env_batch
+from rmp_tpu.sim import randomizer as rnd
+from rmp_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+
+def test_sharded_rollout_8_virtual_devices():
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    mesh = make_mesh()
+    env = envs.make("franka/01_target_rmp_only")
+    env.resolve_method = "cholesky"
+    states = envs.make_batched_reset(env, 16)(jax.random.PRNGKey(0))
+    states = shard_env_batch(states, mesh)
+    rollout = make_sharded_rollout(env, n_ticks=3, mesh=mesh)
+    final, metrics = rollout(states, env.gather_params())
+    assert final.sim.q.shape == (16, env.model.n_q)
+    assert np.isfinite(float(metrics["mean_abs_qdd"]))
+    # sharded result matches unsharded vmap
+    states2 = envs.make_batched_reset(env, 16)(jax.random.PRNGKey(0))
+    final2, _ = jax.jit(envs.make_batched_rollout(env, 3))(
+        states2, env.gather_params())
+    np.testing.assert_allclose(np.asarray(final.sim.q),
+                               np.asarray(final2.sim.q), atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    env = envs.make("two_joint/05_obstacle_avoidance")
+    state = env.reset(jax.random.PRNGKey(3))
+    step = jax.jit(envs.make_control_step(env))
+    state, _ = step(state, env.gather_params())
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, state)
+    template = env.reset(jax.random.PRNGKey(0))
+    restored = restore_checkpoint(path, template)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=0), state, restored)
+    # resuming from the checkpoint continues identically
+    s1, _ = step(state, env.gather_params())
+    s2, _ = step(restored, env.gather_params())
+    np.testing.assert_allclose(np.asarray(s1.sim.q), np.asarray(s2.sim.q),
+                               atol=0)
+
+
+def test_scene_randomizer():
+    r = rnd.SceneRandomizer(seed=1)
+    obs = r.randomize_obstacles(5)
+    assert obs.count == 5
+    centers = 0.5 * (np.asarray(obs.p0) + np.asarray(obs.p1))
+    radii_xy = np.linalg.norm(centers[:, :2], axis=-1)
+    assert np.all(radii_xy >= 0.3) and np.all(radii_xy <= 1.0)
+    assert np.all(np.asarray(obs.radius) >= 0.05)
+    assert np.all(np.asarray(obs.radius) <= 0.1)
+    q, qd = r.randomize_robot_config()
+    np.testing.assert_allclose(np.asarray(q), robots.PANDA_Q_READY, atol=0.11)
+    assert np.max(np.abs(np.asarray(qd))) <= 0.005
+    goal = np.asarray(r.randomize_goal())
+    assert 0.4 <= np.linalg.norm(goal[:2]) <= 0.9
+    # vmapped batch draw
+    batch = jax.vmap(lambda k: rnd.randomize_obstacles(k, 3))(
+        jax.random.split(jax.random.PRNGKey(0), 16))
+    assert batch.p0.shape == (16, 3, 3)
+
+
+def test_inverse_kinematics_position_and_orientation():
+    model = robots.franka_panda()
+    target = jnp.asarray([0.5, 0.1, 0.5])
+    q = inverse_kinematics(model, robots.PANDA_EE_FRAME, target,
+                           q_init=jnp.asarray(robots.PANDA_Q_READY))
+    from rmp_tpu.models import kinematics as K
+    T = np.asarray(K.fk_frame(model, q, model.frame_index(robots.PANDA_EE_FRAME)))
+    np.testing.assert_allclose(T[:3, 3], np.asarray(target), atol=5e-3)
+    # inside limits
+    assert np.all(np.asarray(q) >= model.q_lower - 1e-6)
+    assert np.all(np.asarray(q) <= model.q_upper + 1e-6)
+
+
+def test_simulation_wrapper_reference_surface():
+    from rmp_tpu import taskmaps as tm
+    from rmp_tpu.core import RmpCore
+    from rmp_tpu.policies import v1
+    from rmp_tpu.sim import FrankaPanda, Goal, Simulation
+
+    sim = Simulation(delta_t=0.01).connect()
+    robot = FrankaPanda()
+    goal = Goal(base_position=(0.6, 0.0, 0.4), radius=0.02)
+    sim.populate_scene([robot, goal])
+    model = robot.model
+    core = RmpCore(method="cholesky")
+    core.add_rmp(v1.target_policy(
+        goal=[0.6, 0.0, 0.4],
+        taskmap=tm.chain(tm.fk_frame(model, robots.PANDA_EE_FRAME),
+                         tm.to_position()),
+        alpha=0.1, beta=0.5, c=0.1, name="target"))
+    qdd = None
+    for i in range(200):
+        if i % 10 == 0:
+            q, qd, ctx = sim.state()
+            qdd = np.asarray(core.evaluate(q, qd, context=ctx))
+        sim.step(qdd)
+    from rmp_tpu.models import kinematics as K
+    ee = np.asarray(K.fk_frame(model, jnp.asarray(sim.q),
+                               model.frame_index(robots.PANDA_EE_FRAME)))[:3, 3]
+    d0 = np.linalg.norm(
+        np.asarray(K.fk_frame(model, jnp.asarray(robots.PANDA_Q_READY),
+                              model.frame_index(robots.PANDA_EE_FRAME)))[:3, 3]
+        - np.asarray([0.6, 0, 0.4]))
+    assert np.linalg.norm(ee - np.asarray([0.6, 0, 0.4])) < d0
+
+
+def test_matplotlib_renderer():
+    from rmp_tpu.sim.world import init_state
+    from rmp_tpu.utils.render import render_scene, save_gif
+    model = robots.two_joint_robot()
+    state = init_state(model, q=[0.3, -0.5], goal=[1.0, 1.0, 0.1])
+    frame = render_scene(model, state)
+    assert frame.ndim == 3 and frame.shape[2] == 3
+    assert frame.dtype == np.uint8
+
+
+def test_native_renderer_if_toolchain():
+    from rmp_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("no C++ toolchain")
+    from rmp_tpu.envs.franka import cluttered_obstacles
+    from rmp_tpu.sim.world import init_state
+    model = robots.franka_panda()
+    state = init_state(model, q=robots.PANDA_Q_READY,
+                       obstacles=cluttered_obstacles(), goal=[0.2, -0.2, 0.5])
+    frame = native.render_scene_native(model, state, width=64, height=48)
+    assert frame.shape == (48, 64, 3)
+    # scene is actually drawn: not a uniform image
+    assert frame.reshape(-1, 3).std(0).mean() > 1.0
