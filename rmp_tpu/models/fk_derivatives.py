@@ -24,7 +24,6 @@ itself parity-tested against the reference implementation.
 """
 from __future__ import annotations
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -99,16 +98,14 @@ def fk_derivatives(model: KinematicModel, q: Array, qd: Array):
     c = [geom.mm(Wd[k] + geom.mm(W[k], W[k]), T[k]) for k in range(F)]
     c16 = jnp.stack(c).reshape(F, 16)
 
-    # Jacobian columns: one G_j @ T_k product per (actuated ancestor j, frame k)
-    cols = []  # list of (k, motor_j, (4,4) product)
+    # Jacobian columns: one G_j @ T_k product per (actuated ancestor j, frame
+    # k), assembled by static stacking (no scatter ops — everything fuses)
+    zero16 = jnp.zeros((16,), jnp.float32)
+    frame_rows = []
     for k in range(F):
-        for j in model.chain(k):
-            if G[j] is not None:
-                cols.append((k, model.q_index[j], geom.mm(G[j], T[k])))
-    J16 = jnp.zeros((F, 16, n), jnp.float32)
-    if cols:
-        ks = np.asarray([c[0] for c in cols])
-        js = np.asarray([c[1] for c in cols])
-        vals = jnp.stack([c[2].reshape(16) for c in cols])   # (C, 16)
-        J16 = J16.at[ks, :, js].set(vals)
+        anc = {model.q_index[j]: j for j in model.chain(k) if G[j] is not None}
+        cols = [geom.mm(G[anc[m]], T[k]).reshape(16) if m in anc else zero16
+                for m in range(n)]
+        frame_rows.append(jnp.stack(cols, axis=-1))          # (16, n)
+    J16 = jnp.stack(frame_rows)                              # (F, 16, n)
     return T16, Td16, J16, c16

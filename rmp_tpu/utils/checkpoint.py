@@ -14,14 +14,18 @@ from flax import serialization
 
 
 def save_checkpoint(path: str, tree) -> None:
-    host = jax.tree.map(np.asarray, tree)
+    """Serialize any pytree (custom nodes included) as its flattened leaves."""
+    leaves = [np.asarray(x) for x in jax.tree.leaves(tree)]
     with open(path, "wb") as f:
-        f.write(serialization.to_bytes(host))
+        f.write(serialization.to_bytes({str(i): l for i, l in enumerate(leaves)}))
 
 
 def restore_checkpoint(path: str, like):
     """Restore into the structure of `like` (same pytree template)."""
     with open(path, "rb") as f:
         data = f.read()
-    restored = serialization.from_bytes(like, data)
-    return jax.tree.map(jnp.asarray, restored)
+    template_leaves, treedef = jax.tree.flatten(like)
+    target = {str(i): np.asarray(l) for i, l in enumerate(template_leaves)}
+    restored = serialization.from_bytes(target, data)
+    leaves = [jnp.asarray(restored[str(i)]) for i in range(len(template_leaves))]
+    return jax.tree.unflatten(treedef, leaves)

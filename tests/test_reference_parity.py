@@ -273,3 +273,50 @@ def test_core_combined_evaluation_parity(ref_fkine_panda):
         qdd_ref = ref_core.evaluate(q, qd).numpy()
         qdd = np.asarray(our_core.evaluate(q, qd))
         np.testing.assert_allclose(qdd, qdd_ref, atol=1e-3)
+
+
+def test_trajectory_parity_closed_loop(ref_fkine_panda):
+    """End-to-end rollout parity: drive the SAME integrator with control
+    commands computed by the reference TF stack vs ours, 30 control ticks of
+    the franka 'target only' scenario — trajectories must track within fp32
+    tolerance (the BASELINE.md correctness criterion; PyBullet-side physics
+    is contact-free here, where our integrator matches its semi-implicit
+    Euler exactly)."""
+    from rmp_tpu.sim import dynamics
+
+    model = robots.franka_panda()
+    goal = np.array([0.6, 0.0, 0.4], dtype=np.float32)
+
+    ref_chain = ref_taskmap.chain_taskmaps([
+        ref_taskmap.TaskmapByForwardKinematic(ref_fkine_panda,
+                                              robots.PANDA_EE_FRAME),
+        ref_taskmap.TaskmapFrom4x4ToPosition()])
+    ref_core = ref_rmp.RmpCore(rmps={})
+    ref_core.add_rmp(ref_rmp.TargetPolicy(alpha=0.1, beta=0.5, c=0.1,
+                                          goal=goal, name="target",
+                                          taskmap=ref_chain))
+
+    our_core = rmp_core.RmpCore(method="pinv")
+    our_core.add_rmp(v1.target_policy(
+        goal=goal, taskmap=tm.chain(tm.fk_frame(model, robots.PANDA_EE_FRAME),
+                                    tm.to_position()),
+        alpha=0.1, beta=0.5, c=0.1, name="target"))
+
+    def rollout(eval_fn, n_ticks=30):
+        q = robots.PANDA_Q_READY.copy()
+        qd = np.zeros_like(q)
+        traj = [q.copy()]
+        for _ in range(n_ticks):
+            qdd = np.asarray(eval_fn(q, qd), dtype=np.float32)
+            for _ in range(10):
+                q, qd = (np.asarray(v) for v in
+                         dynamics.semi_implicit_euler_step(
+                             model, jnp.asarray(q), jnp.asarray(qd),
+                             jnp.asarray(qdd), 0.01))
+            traj.append(q.copy())
+        return np.stack(traj)
+
+    traj_ref = rollout(lambda q, qd: ref_core.evaluate(q, qd).numpy())
+    traj_ours = rollout(lambda q, qd: our_core.evaluate(q, qd))
+    err = np.max(np.abs(traj_ref - traj_ours))
+    assert err < 5e-3, f"trajectory divergence {err}"
