@@ -41,8 +41,10 @@ def main():
     env.resolve_method = "cholesky"
 
     params = env.gather_params()
+    fused = os.environ.get("RMP_BENCH_FUSED", "1") == "1" and batch % 128 == 0
     states = envs.make_batched_reset(env, batch)(jax.random.PRNGKey(0))
-    rollout = jax.jit(lambda s, p: envs.make_batched_rollout(env, ticks)(s, p))
+    rollout = jax.jit(lambda s, p: envs.make_batched_rollout(
+        env, ticks, fused_resolve=fused)(s, p))
 
     # compile + warmup
     t0 = time.perf_counter()

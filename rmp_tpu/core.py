@@ -159,6 +159,34 @@ def _taskmap_derivatives_analytic(policies, q, qd, ctxs):
     return tuple(x_all), tuple(xd_all), tuple(J_all), tuple(c_all)
 
 
+def policy_rows(policies: Sequence[Policy], q: Array, qd: Array,
+                params: Sequence[Any], ctxs: Sequence[Any],
+                derivatives: str = "analytic"):
+    """Row-stacked pullback inputs for one env: (J (R, n), W (R, n), v (R,))
+    with R = sum_i P_i * d_i (static), W = M J and v = M (a - c) rows.
+
+    The combined system is A = J^T W, f = J^T v — consumed either by
+    `resolve` or by the fused batched Pallas kernel
+    (ops/pallas_resolve.pullback_resolve)."""
+    q = jnp.asarray(q, jnp.float32)
+    qd = jnp.asarray(qd, jnp.float32)
+    if derivatives == "jacfwd":
+        x_all, xd_all, J_all, c_all = _taskmap_derivatives_jacfwd(
+            policies, q, qd, ctxs)
+    else:
+        x_all, xd_all, J_all, c_all = _taskmap_derivatives_analytic(
+            policies, q, qd, ctxs)
+    n = q.shape[-1]
+    Js, Ws, vs = [], [], []
+    for p, prm, ctx, x, xd, J, c in zip(policies, params, ctxs, x_all, xd_all,
+                                        J_all, c_all):
+        a, M = p.accel_metric(prm, x, xd, ctx)
+        Js.append(J.reshape(-1, n))
+        Ws.append(geom.mm(M, J).reshape(-1, n))
+        vs.append(geom.mv(M, a - c).reshape(-1))
+    return (jnp.concatenate(Js), jnp.concatenate(Ws), jnp.concatenate(vs))
+
+
 def evaluate_policies(policies: Sequence[Policy], q: Array, qd: Array,
                       params: Sequence[Any], ctxs: Sequence[Any],
                       method: str = "pinv",

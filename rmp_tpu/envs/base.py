@@ -116,6 +116,48 @@ def is_solved(env: Env, sim: SimState) -> Array:
     return ok
 
 
+def _policy_inputs(env: Env, state: EnvState, params: tuple):
+    """(q, q̇, bound params, per-policy ctxs) for one tick."""
+    sim = state.sim
+    policies = env.policies
+    if env.bind_params is not None:
+        params = env.bind_params(params, sim, policies)
+    if env.context_fn is not None:
+        q, qd = sim.q, sim.qd
+        frame_ctx = env.context_fn(env.model, sim)
+    else:
+        q, qd, frame_ctx = sense(env.model, sim)
+    ctxs = tuple(frame_ctx.get(p.ctx_key) if getattr(p, "ctx_key", None)
+                 else None for p in policies)
+    return q, qd, params, ctxs
+
+
+def _advance(env: Env, state: EnvState, qdd):
+    """Physics substeps + solved bookkeeping for one tick (per env)."""
+    model = env.model
+    sim = state.sim
+    if env.unroll_substeps:
+        for _ in range(env.control_every):
+            sim = physics_step(model, sim, qdd, env.dt,
+                               torque_mode=env.torque_mode)
+    else:
+        def substep(s, _):
+            return physics_step(model, s, qdd, env.dt,
+                                torque_mode=env.torque_mode), None
+        sim, _ = jax.lax.scan(substep, sim, None, length=env.control_every)
+
+    state = dataclasses.replace(state, sim=sim, steps=state.steps + 1)
+    solved = is_solved(env, sim) if sim.goal is not None else jnp.asarray(False)
+    if env.on_solved is not None:
+        resampled = env.on_solved(dataclasses.replace(
+            state, solved_count=state.solved_count + 1))
+        state = jax.tree.map(
+            lambda a, b: jnp.where(solved, a, b), resampled, state)
+    aux = dict(solved=solved, qdd=qdd,
+               ee=ee_position(env, sim) if sim.goal is not None else None)
+    return state, aux
+
+
 def make_control_step(env: Env):
     """Pure fn(env_state, params) -> (env_state, aux) for ONE control tick."""
     model = env.model
@@ -135,32 +177,29 @@ def make_control_step(env: Env):
         qdd = evaluate_policies(policies, q, qd, params, ctxs,
                                 method=env.resolve_method,
                                 derivatives=env.derivatives)
+        return _advance(env, state, qdd)
+    return step
 
-        if env.unroll_substeps:
-            # unrolled at trace time: the substep body is tiny and
-            # elementwise, so unrolling lets XLA fuse all `control_every`
-            # integrator steps into a handful of kernels (lax.scan forces
-            # per-iteration dispatch) — at some TPU compile-time cost
-            for _ in range(env.control_every):
-                sim = physics_step(model, sim, qdd, env.dt,
-                                   torque_mode=env.torque_mode)
-        else:
-            def substep(s, _):
-                return physics_step(model, s, qdd, env.dt,
-                                    torque_mode=env.torque_mode), None
-            sim, _ = jax.lax.scan(substep, sim, None,
-                                  length=env.control_every)
 
-        state = dataclasses.replace(state, sim=sim, steps=state.steps + 1)
-        solved = is_solved(env, sim) if sim.goal is not None else jnp.asarray(False)
-        if env.on_solved is not None:
-            resampled = env.on_solved(dataclasses.replace(
-                state, solved_count=state.solved_count + 1))
-            state = jax.tree.map(
-                lambda a, b: jnp.where(solved, a, b), resampled, state)
-        aux = dict(solved=solved, qdd=qdd,
-                   ee=ee_position(env, sim) if sim.goal is not None else None)
-        return state, aux
+def make_batched_control_step(env: Env):
+    """Batched tick with the FUSED Pallas pullback+resolve: the per-env
+    derivative/policy computation is vmapped into row-stacked (J, W, v) and
+    the whole batch resolves in one kernel (ops/pallas_resolve). Batch must
+    be a multiple of 128 (lane width)."""
+    from rmp_tpu.core import policy_rows
+    from rmp_tpu.ops.pallas_resolve import pullback_resolve
+
+    policies = env.policies
+
+    def rows(state: EnvState, params: tuple):
+        q, qd, params_b, ctxs = _policy_inputs(env, state, params)
+        return policy_rows(policies, q, qd, params_b, ctxs,
+                           derivatives=env.derivatives)
+
+    def step(states: EnvState, params: tuple):
+        J, W, v = jax.vmap(rows, in_axes=(0, None))(states, params)
+        qdd = pullback_resolve(J, W, v)                   # (B, n)
+        return jax.vmap(lambda s, a: _advance(env, s, a))(states, qdd)
     return step
 
 
@@ -182,7 +221,19 @@ def make_batched_reset(env: Env, batch: int):
     return reset
 
 
-def make_batched_rollout(env: Env, n_ticks: int):
-    """vmapped rollout: params shared across the batch, state batched."""
+def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False):
+    """Batched rollout: params shared across the batch, state batched.
+
+    fused_resolve=True routes the resolve through the batched Pallas kernel
+    (batch must be a multiple of 128)."""
+    if fused_resolve:
+        step = make_batched_control_step(env)
+
+        def rollout(states: EnvState, params: tuple):
+            def body(s, _):
+                s, aux = step(s, params)
+                return s, aux
+            return jax.lax.scan(body, states, None, length=n_ticks)
+        return rollout
     rollout = make_rollout(env, n_ticks)
     return jax.vmap(rollout, in_axes=(0, None))

@@ -1,0 +1,115 @@
+"""Pallas TPU kernel: fused RMP pullback + Cholesky resolve.
+
+Computes, for a batch of environments, from the row-stacked task coordinates
+(all policies' pair rows concatenated: R = sum_i P_i * d_i):
+
+    A_b = J_b^T W_b + ridge * I        (n x n;  W = M J rows)
+    f_b = J_b^T v_b                    (v = M (a - c) rows)
+    q̈_b = A_b^{-1} f_b                 (unrolled Cholesky)
+
+in ONE kernel with a batch-on-lanes layout: envs live on the 128-wide lane
+axis, so every scalar of the factorization is a full VPU lane vector and the
+pair-reduction runs as (R, 128) elementwise multiply-accumulates. This fuses
+what the XLA path expresses as ~20 separate contraction/solve kernels.
+
+This is the hot-op Pallas demonstration for the resolve stage; the jnp
+reference implementation (ops/linalg.cholesky_solve_unrolled + core._pullback)
+is the semantics oracle (tests/test_pallas_resolve.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+LANES = 128
+
+
+def _kernel(J_ref, W_ref, v_ref, out_ref, *, n: int, ridge: float):
+    # refs: J, W (n, R, LANES); v (R, LANES); out (n, LANES)
+    # Gram matrix + rhs: every A[i][j]/f[i] is a (LANES,) env-vector
+    A = [[None] * n for _ in range(n)]
+    f = [None] * n
+    for i in range(n):
+        Ji = J_ref[i, :, :]                        # (R, LANES)
+        f[i] = jnp.sum(Ji * v_ref[:, :], axis=0)
+        for j in range(n):
+            A[i][j] = jnp.sum(Ji * W_ref[j, :, :], axis=0)
+
+    # symmetrize + ridge (matches ops/linalg.cholesky_solve_unrolled)
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = 0.5 * (A[i][j] + A[j][i])
+            A[i][j] = s
+            A[j][i] = s
+        A[i][i] = A[i][i] + ridge
+
+    # unrolled Cholesky factorization, lanes-parallel over envs
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = A[j][j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k]
+        Ljj = jnp.sqrt(jnp.maximum(d, 1e-12))
+        inv = 1.0 / Ljj
+        L[j][j] = Ljj
+        for i in range(j + 1, n):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+
+    y = [None] * n
+    for i in range(n):
+        s = f[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+
+    for i in range(n):
+        out_ref[i, :] = x[i]
+
+
+@functools.partial(jax.jit, static_argnames=("ridge",))
+def pullback_resolve(J: Array, W: Array, v: Array,
+                     ridge: float = 1e-6) -> Array:
+    """q̈ = (J^T W + ridge I)^{-1} J^T v for a batch of environments.
+
+    J, W: (B, R, n); v: (B, R) -> (B, n). B must be a multiple of 128
+    (pad the env batch); R, n are small static dims (R ~ 100, n ~ 9).
+    """
+    B, R, n = J.shape
+    assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
+    # batch-on-lanes layout
+    Jt = jnp.transpose(J, (2, 1, 0))      # (n, R, B)
+    Wt = jnp.transpose(W, (2, 1, 0))
+    vt = jnp.transpose(v, (1, 0))         # (R, B)
+
+    grid = (B // LANES,)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n=n, ridge=ridge),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, R, LANES), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, R, LANES), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, LANES), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, B), jnp.float32),
+    )(Jt, Wt, vt)
+    return jnp.transpose(out, (1, 0))     # (B, n)
