@@ -17,6 +17,7 @@ REGISTRY = {
     "franka/04_nullspace_control": franka.env_04_nullspace_control,
     "franka/05_obstacle_avoidance": franka.env_05_obstacle_avoidance,
     "franka/06_cluttered_environment": franka.env_06_cluttered_environment,
+    "franka/randomized_cluttered": franka.env_randomized_cluttered,
 }
 
 

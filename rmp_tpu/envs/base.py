@@ -83,6 +83,9 @@ class Env:
     check_velocity: float | None = None   # also require |q̇| < this
     context_fn: Callable[[KinematicModel, SimState], dict] | None = None
     unroll_substeps: bool = True
+    # divergence guard: clamp |q̈| and zero non-finite commands (needed for
+    # domain-randomized scenes where obstacles can spawn in deep penetration)
+    max_qdd: float | None = None
 
     def gather_params(self) -> tuple:
         return tuple(p.params for p in self.policies)
@@ -136,6 +139,9 @@ def _advance(env: Env, state: EnvState, qdd):
     """Physics substeps + solved bookkeeping for one tick (per env)."""
     model = env.model
     sim = state.sim
+    if env.max_qdd is not None:
+        qdd = jnp.clip(jnp.nan_to_num(qdd, nan=0.0, posinf=0.0, neginf=0.0),
+                       -env.max_qdd, env.max_qdd)
     if env.unroll_substeps:
         for _ in range(env.control_every):
             sim = physics_step(model, sim, qdd, env.dt,

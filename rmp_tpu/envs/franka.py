@@ -277,6 +277,37 @@ def cluttered_obstacles() -> ObstacleSet:
                             for p, o, r, h in cyl])
 
 
+def env_randomized_cluttered(n_obstacles: int = 7) -> Env:
+    """Domain-randomized cluttered scenes: every env draws its own obstacle
+    set, initial robot jitter, and goal from the reference's randomization
+    spaces (simulation.py:494-548) — obstacle poses/sizes are traced state,
+    so the whole randomized batch shares one compiled program."""
+    from rmp_tpu.sim import randomizer as rnd
+
+    model = MODEL()
+    policies = tuple(
+        _v2_policy_stack(model, goal=[0.5, 0.0, 0.5], attractor_p_gain=0.3,
+                         attractor_d_gain=0.6, with_cspace_bias=True)
+        + _obstacle_policies(model))
+
+    def on_solved(state: EnvState) -> EnvState:
+        k, sub = jax.random.split(state.key)
+        sim = dataclasses.replace(state.sim, goal=rnd.randomize_goal(sub))
+        return dataclasses.replace(state, sim=sim, key=k)
+
+    def reset(key):
+        k_obs, k_robot, k_goal, k_carry = jax.random.split(key, 4)
+        obstacles = rnd.randomize_obstacles(k_obs, n_obstacles)
+        q, qd = rnd.randomize_robot_config(k_robot)
+        sim = init_state(model, q=q, qd=qd, obstacles=obstacles,
+                         goal=rnd.randomize_goal(k_goal))
+        return env_state(sim, k_carry)
+
+    return Env(name="franka/randomized_cluttered", model=model,
+               policies=policies, reset=reset, ee_frame=model.frame_index(EE),
+               bind_params=_goal_bind(), on_solved=on_solved, max_qdd=100.0)
+
+
 def env_06_cluttered_environment() -> Env:
     """experiments/franka_panda/06_cluttered_environment.py — the flagship:
     full v2 stack + c-space bias + 10 collision frames x 7 cylinders, six

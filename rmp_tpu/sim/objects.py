@@ -9,6 +9,7 @@ the reference's quaternion/euler properties (simulation.py:27-39).
 from __future__ import annotations
 
 import dataclasses
+import typing
 
 import numpy as np
 
@@ -70,16 +71,19 @@ class Robot(SceneObject):
     q: np.ndarray | None = None
     qd: np.ndarray | None = None
 
-    model_fn = None
-    q_ready: np.ndarray = None
-    q_lim_low: np.ndarray = None
-    q_lim_high: np.ndarray = None
+    # per-robot constants: ClassVar so subclass class-attribute assignments
+    # actually take effect (dataclass fields would keep the base default)
+    model_fn: typing.ClassVar = None
+    q_ready: typing.ClassVar[np.ndarray] = None
+    q_lim_low: typing.ClassVar[np.ndarray] = None
+    q_lim_high: typing.ClassVar[np.ndarray] = None
 
     def __post_init__(self):
         if self.q is None:
-            self.q = np.array(self.q_ready, dtype=np.float32)
+            self.q = np.array(type(self).q_ready, dtype=np.float32)
         if self.qd is None:
             self.qd = np.zeros_like(self.q)
+        assert self.q.ndim == 1, "robot q must be a joint vector"
 
     @property
     def model(self):

@@ -148,3 +148,38 @@ def test_batched_rollout_matches_single():
         jax.tree.map(lambda x: x[0], states), params)
     np.testing.assert_allclose(np.asarray(finals.sim.q)[0],
                                np.asarray(single_final.sim.q), atol=1e-5)
+
+
+def test_randomized_cluttered_batch():
+    """Domain-randomized batched env: per-env obstacle sets/goals, one
+    compiled program, no NaNs."""
+    env = envs.make("franka/randomized_cluttered")
+    env.resolve_method = "cholesky"
+    states = envs.make_batched_reset(env, 8)(jax.random.PRNGKey(2))
+    # envs drew different obstacles and goals
+    p0 = np.asarray(states.sim.obstacles.p0)
+    assert not np.allclose(p0[0], p0[1])
+    goals = np.asarray(states.sim.goal)
+    assert not np.allclose(goals[0], goals[1])
+    final, aux = jax.jit(envs.make_batched_rollout(env, 20))(
+        states, env.gather_params())
+    assert np.isfinite(np.asarray(final.sim.q)).all()
+    assert np.isfinite(np.asarray(aux["qdd"])).all()
+
+
+def test_torque_mode_rollout():
+    """Torque-level physics path (ID -> clamp -> FD) tracks the exact path
+    closely in free space (reference behavior: they cancel)."""
+    env_a = envs.make("franka/01_target_rmp_only")
+    env_b = envs.make("franka/01_target_rmp_only")
+    env_b.torque_mode = True
+    sa = env_a.reset(jax.random.PRNGKey(0))
+    sb = env_b.reset(jax.random.PRNGKey(0))
+    step_a = jax.jit(make_control_step(env_a))
+    step_b = jax.jit(make_control_step(env_b))
+    for _ in range(20):
+        sa, _ = step_a(sa, env_a.gather_params())
+        sb, _ = step_b(sb, env_b.gather_params())
+    qa, qb = np.asarray(sa.sim.q), np.asarray(sb.sim.q)
+    assert np.isfinite(qb).all()
+    np.testing.assert_allclose(qa, qb, atol=5e-3)
