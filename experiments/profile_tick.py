@@ -8,13 +8,11 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
-import time
-
 import jax
 import jax.numpy as jnp
 
 from rmp_tpu import envs
-from rmp_tpu.core import _pullback, evaluate_policies, resolve
+from rmp_tpu.core import evaluate_policies, resolve
 from rmp_tpu.envs.base import make_control_step
 from rmp_tpu.models import kinematics as K
 from rmp_tpu.sim.world import physics_step, sense

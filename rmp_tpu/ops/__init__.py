@@ -1,1 +1,1 @@
-from rmp_tpu.ops import geom  # noqa: F401
+from rmp_tpu.ops import geom, linalg, metrics  # noqa: F401

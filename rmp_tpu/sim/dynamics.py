@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from rmp_tpu.models.kinematics import joint_transforms
 from rmp_tpu.models.urdf import (FIXED, PRISMATIC, REVOLUTE, ROOT,
                                  KinematicModel)
+from rmp_tpu.ops import geom
 
 Array = jax.Array
 
@@ -158,6 +159,77 @@ def mass_matrix(model: KinematicModel, q: Array) -> Array:
         lambda e: inverse_dynamics(model, q, zeros, e, gravity=no_g)
     )(jnp.eye(n, dtype=jnp.float32))
     return cols.T
+
+
+def mass_matrix_crba(model: KinematicModel, q: Array) -> Array:
+    """Joint-space inertia via the Composite Rigid Body Algorithm.
+
+    World-frame formulation: each body's spatial inertia about the origin is
+    accumulated up the tree (composite inertias I^c), and
+        M[i, j] = S_i^T I^c_{max(i,j)-subtree} S_j
+    with S_i the world-frame motion subspace (twist) of joint i. Equivalent
+    to `mass_matrix` (ID trick); both are kept — CRBA is O(n d) and serves as
+    an independent cross-check (tests/test_dynamics.py).
+    """
+    from rmp_tpu.models.kinematics import fk_all
+
+    F = model.n_frames
+    n = model.n_q
+    T = fk_all(model, q)                      # (F, 4, 4)
+    R = T[:, :3, :3]
+    p = T[:, :3, 3]
+    mass = jnp.asarray(model.mass)
+    com_w = p + jnp.einsum("fij,fj->fi", R, jnp.asarray(model.com))
+    I_w = jnp.einsum("fij,fjk,flk->fil", R, jnp.asarray(model.inertia), R)
+
+    def _skew(v):
+        x, y, z = v[..., 0], v[..., 1], v[..., 2]
+        zero = jnp.zeros_like(x)
+        return jnp.stack([zero, -z, y, z, zero, -x, -y, x, zero],
+                         axis=-1).reshape(v.shape[:-1] + (3, 3))
+
+    # spatial inertia of body f about the WORLD origin, world axes:
+    # [[I + m cx cx^T_adj, m cx], [m cx^T, m 1]] with cx = skew(com)
+    cx = _skew(com_w)                         # (F, 3, 3)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    Itop = I_w + mass[:, None, None] * geom.mm(cx, jnp.swapaxes(cx, -1, -2))
+    top = jnp.concatenate([Itop, mass[:, None, None] * cx], axis=-1)
+    bot = jnp.concatenate([mass[:, None, None] * jnp.swapaxes(cx, -1, -2),
+                           mass[:, None, None] * jnp.broadcast_to(eye3, cx.shape)],
+                          axis=-1)
+    I_spatial = jnp.concatenate([top, bot], axis=-2)     # (F, 6, 6)
+
+    # composite: add each body's spatial inertia to all its ancestors
+    Ic = [I_spatial[f] for f in range(F)]
+    for f in reversed(range(F)):
+        par = model.parent[f]
+        if par != ROOT:
+            Ic[par] = Ic[par] + Ic[f]
+
+    # world-frame motion subspaces S_i = [omega; v_origin] per actuated joint
+    S = [None] * F
+    for f in range(F):
+        if model.joint_type[f] == FIXED:
+            continue
+        axis_w = jnp.einsum("ij,j->i", R[f], jnp.asarray(model.axis[f]))
+        if model.joint_type[f] == REVOLUTE:
+            S[f] = jnp.concatenate([axis_w, jnp.cross(p[f], axis_w)])
+        else:
+            S[f] = jnp.concatenate([jnp.zeros(3, jnp.float32), axis_w])
+
+    M = jnp.zeros((n, n), jnp.float32)
+    for f in range(F):
+        if S[f] is None:
+            continue
+        i = model.q_index[f]
+        FI = jnp.einsum("ab,b->a", Ic[f], S[f])      # force of subtree f
+        anc = [g for g in model.chain(f) if S[g] is not None]
+        for g in anc:
+            j = model.q_index[g]
+            val = jnp.dot(S[g], FI)
+            M = M.at[i, j].set(val)
+            M = M.at[j, i].set(val)
+    return M
 
 
 def forward_dynamics(model: KinematicModel, q: Array, qd: Array,

@@ -154,3 +154,13 @@ def test_dynamics_vmaps():
     np.testing.assert_allclose(
         np.asarray(h)[2],
         np.asarray(dynamics.bias_forces(model, qs[2], qds[2])), atol=1e-4)
+
+
+def test_crba_matches_id_trick():
+    """CRBA mass matrix == ID-trick mass matrix (independent algorithms)."""
+    for model in (robots.two_joint_robot(), robots.franka_panda()):
+        for _ in range(3):
+            q = jnp.asarray(rng.uniform(-1.2, 1.2, model.n_q), jnp.float32)
+            M_id = np.asarray(dynamics.mass_matrix(model, q))
+            M_crba = np.asarray(dynamics.mass_matrix_crba(model, q))
+            np.testing.assert_allclose(M_crba, M_id, atol=2e-4)
