@@ -1,0 +1,100 @@
+"""Contact dynamics: penalty-based normal + Coulomb-style tangential forces.
+
+The reference delegates contact entirely to PyBullet's C++ LCP solver
+(simulation.py:381, stepSimulation); its RMP demos are designed to stay
+contact-free, which is what makes trajectory parity feasible (SURVEY.md §7).
+This module supplies the missing capability for the torque-level simulation
+path: spring-damper contact forces at the analytic closest points
+(link capsules vs obstacles and vs the ground plane z = 0), mapped to joint
+torques through the contact-point Jacobians from the twist-generator FK
+derivatives.
+
+Opt-in (`physics_step(..., contact=True)` / Env.contact_mode): the contact-
+free parity scenes are unaffected.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from rmp_tpu.models.fk_derivatives import fk_derivatives
+from rmp_tpu.models.urdf import KinematicModel
+from rmp_tpu.sim.collision import ObstacleSet, link_world_capsules
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ContactParams:
+    # gains sized for explicit semi-implicit Euler at dt ~ 5-10 ms: the
+    # penalty spring's dt*sqrt(k/m) must stay well below 1 or the contact
+    # injects energy (classic explicit stiff-contact bounce)
+    stiffness: float = 2000.0      # N/m penalty spring
+    damping: float = 50.0          # N s/m normal damper
+    friction: float = 0.5          # Coulomb-ish tangential coefficient
+    ground: bool = True            # include the z=0 plane
+
+
+def _point_kinematics(T16_row, Td16_row, J16_row, p_world):
+    """Velocity and Jacobian of a world point rigidly attached to a frame.
+
+    o = frame-local coordinates of the point (frozen); then
+    v = (Ṫ [o;1])[:3],  J[:, j] = (∂T/∂q_j [o;1])[:3].
+    """
+    T = T16_row.reshape(4, 4)
+    o = jnp.linalg.solve(T, jnp.concatenate([p_world, jnp.ones(1)]))
+    o = jax.lax.stop_gradient(o)
+    v = (Td16_row.reshape(4, 4) @ o)[:3]
+    J = jnp.einsum("abn,b->an", J16_row.reshape(4, 4, -1), o)[:3]
+    return v, J
+
+
+def contact_torques(model: KinematicModel, q: Array, qd: Array,
+                    obstacles: ObstacleSet | None,
+                    params: ContactParams = ContactParams()) -> Array:
+    """Joint torques from all penetrating contacts (n_q,)."""
+    T16, Td16, J16, _ = fk_derivatives(model, q, qd)
+    T_all = T16.reshape(-1, 4, 4)
+    p0, p1, radius = link_world_capsules(model, T_all)       # (L, ...)
+    frames = model.collision_frames
+    L = len(frames)
+    n = model.n_q
+
+    contacts = []  # (frame_row, point_on_link (3,), normal (3,), depth ())
+    if obstacles is not None and obstacles.count > 0:
+        from rmp_tpu.sim.collision import capsule_capsule_query
+        K = obstacles.count
+        a0 = p0[:, None, :].repeat(K, 1)
+        a1 = p1[:, None, :].repeat(K, 1)
+        ra = radius[:, None].repeat(K, 1)
+        b0 = jnp.broadcast_to(obstacles.p0[None], (L, K, 3))
+        b1 = jnp.broadcast_to(obstacles.p1[None], (L, K, 3))
+        rb = jnp.broadcast_to(obstacles.radius[None], (L, K))
+        pos_l, _, normal, dist = capsule_capsule_query(a0, a1, ra, b0, b1, rb)
+        for li in range(L):
+            for ki in range(K):
+                contacts.append((li, pos_l[li, ki], normal[li, ki],
+                                 -dist[li, ki]))
+    if params.ground:
+        # capsule vs plane z=0: lowest endpoint minus radius
+        for li in range(L):
+            lower = jnp.where(p0[li, 2] < p1[li, 2], p0[li], p1[li])
+            depth = radius[li] - lower[2]
+            point = lower.at[2].add(-radius[li])
+            contacts.append((li, point, jnp.asarray([0.0, 0.0, 1.0]), depth))
+
+    tau = jnp.zeros(n, jnp.float32)
+    for li, point, normal, depth in contacts:
+        f = frames[li]
+        v, J = _point_kinematics(T16[f], Td16[f], J16[f], point)
+        active = depth > 0.0
+        v_n = jnp.dot(v, normal)
+        f_n = jnp.maximum(params.stiffness * depth - params.damping * v_n, 0.0)
+        f_n = jnp.where(active, f_n, 0.0)
+        v_t = v - v_n * normal
+        f_t = -params.friction * f_n * v_t / (jnp.linalg.norm(v_t) + 1e-4)
+        F = f_n * normal + f_t
+        tau = tau + J.T @ F
+    return tau

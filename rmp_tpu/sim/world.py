@@ -66,7 +66,8 @@ def init_state(model: KinematicModel, q=None, qd=None,
 
 def physics_step(model: KinematicModel, state: SimState, qdd_desired: Array,
                  dt: float, torque_mode: bool = False,
-                 enforce_limits: bool = True) -> SimState:
+                 enforce_limits: bool = True,
+                 contact: bool = False, contact_params=None) -> SimState:
     """One physics step at Δt.
 
     torque_mode=False (default): the commanded acceleration is realized
@@ -79,10 +80,15 @@ def physics_step(model: KinematicModel, state: SimState, qdd_desired: Array,
     disturbances or clamp efforts.
     """
     qdd = qdd_desired
-    if torque_mode:
+    if torque_mode or contact:
         tau = dynamics.inverse_dynamics(model, state.q, state.qd, qdd_desired)
         tau = jnp.clip(tau, -jnp.asarray(model.effort_limit),
                        jnp.asarray(model.effort_limit))
+        if contact:
+            from rmp_tpu.sim.contact import ContactParams, contact_torques
+            tau = tau + contact_torques(
+                model, state.q, state.qd, state.obstacles,
+                contact_params or ContactParams())
         qdd = dynamics.forward_dynamics(model, state.q, state.qd, tau)
     q, qd = dynamics.semi_implicit_euler_step(model, state.q, state.qd, qdd,
                                               dt, enforce_limits)

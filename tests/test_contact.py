@@ -1,0 +1,77 @@
+"""Contact dynamics tests: ground support, obstacle blocking.
+
+(Capability beyond the reference's contact-free RMP envelope — PyBullet
+handled contact there; see sim/contact.py.)
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmp_tpu.models import kinematics as K
+from rmp_tpu.models import robots
+from rmp_tpu.sim import world
+from rmp_tpu.sim.collision import link_world_capsules, sphere_obstacle
+from rmp_tpu.sim.contact import ContactParams, contact_torques
+
+
+def _min_ground_clearance(model, q):
+    T_all = K.fk_all(model, jnp.asarray(q))
+    p0, p1, radius = link_world_capsules(model, T_all)
+    lows = jnp.minimum(p0[:, 2], p1[:, 2]) - radius
+    return float(jnp.min(lows))
+
+
+def test_panda_falls_without_contact_rests_with_contact():
+    """Zero torque command under gravity: without contact the arm collapses
+    through the floor; with ground contact it comes to rest near/above it."""
+    model = robots.franka_panda()
+    zero = jnp.zeros(model.n_q)
+
+    def drop(contact):
+        state = world.init_state(model, q=robots.PANDA_Q_READY)
+        # tau = 0: command the gravity-collapse acceleration explicitly via
+        # torque mode with qdd_des = FD(q, qd, 0) each step
+        step = jax.jit(lambda s: world.physics_step(
+            model, s,
+            __import__("rmp_tpu.sim.dynamics", fromlist=["d"]).forward_dynamics(
+                model, s.q, s.qd, jnp.zeros(model.n_q)),
+            dt=0.005, contact=contact))
+        for _ in range(400):
+            state = step(state)
+        return state
+
+    no_contact = drop(False)
+    with_contact = drop(True)
+    clearance_contact = _min_ground_clearance(model, with_contact.q)
+    # with contact the arm is supported within the penalty compliance...
+    assert clearance_contact > -0.05, f"sank through floor: {clearance_contact}"
+    assert np.all(np.isfinite(np.asarray(with_contact.q)))
+    # ...and dissipates energy: much slower than the freely swinging arm
+    v_contact = float(jnp.linalg.norm(with_contact.qd))
+    v_free = float(jnp.linalg.norm(no_contact.qd))
+    assert v_contact < 0.5 * v_free, (v_contact, v_free)
+
+
+def test_contact_torques_push_out_of_obstacle():
+    """A sphere penetrating a link produces torques that move the closest
+    point away from the obstacle center."""
+    model = robots.two_joint_robot()
+    q = jnp.asarray([0.0, 0.0], jnp.float32)
+    qd = jnp.zeros(2)
+    # sphere overlapping link_1 capsule (capsule at z=0.075..0.125, r=0.05)
+    obs = sphere_obstacle([0.5, 0.04, 0.075], 0.05)   # inside the capsule skin
+    tau = contact_torques(model, q, qd, obs,
+                          ContactParams(ground=False))
+    tau = np.asarray(tau)
+    assert np.any(np.abs(tau) > 1e-3), "no contact torque generated"
+    # torque should rotate joint 1 negative (link pushed to -y)
+    assert tau[0] < 0
+
+
+def test_no_contact_no_torque():
+    model = robots.two_joint_robot()
+    q = jnp.asarray([0.3, -0.2], jnp.float32)
+    obs = sphere_obstacle([5.0, 5.0, 5.0], 0.05)
+    tau = np.asarray(contact_torques(model, q, jnp.zeros(2), obs,
+                                     ContactParams(ground=False)))
+    np.testing.assert_allclose(tau, np.zeros(2), atol=1e-6)
