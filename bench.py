@@ -29,8 +29,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     batch = int(os.environ.get("RMP_BENCH_BATCH", "4096"))
-    ticks = int(os.environ.get("RMP_BENCH_TICKS", "50"))
-    reps = int(os.environ.get("RMP_BENCH_REPS", "5"))
+    ticks = int(os.environ.get("RMP_BENCH_TICKS", "150"))
+    reps = int(os.environ.get("RMP_BENCH_REPS", "3"))
 
     from rmp_tpu import envs
 
