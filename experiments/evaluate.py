@@ -1,0 +1,85 @@
+"""Large-scale evaluation sweep: success metrics over randomized env batches.
+
+The production-evaluation counterpart of the demos (BASELINE.json north star:
+domain-randomized evaluation sweeps over thousands of envs): rolls out a
+batch of domain-randomized cluttered scenes on the accelerator and reports
+success rate, goals reached, collision (penetration) statistics, and
+throughput.
+
+Usage: python experiments/evaluate.py [--batch 4096] [--ticks 300] [--env NAME]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="franka/randomized_cluttered")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--ticks", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   os.pardir, ".jax_cache"))
+
+    from rmp_tpu import envs
+    from rmp_tpu.models import kinematics as K
+    from rmp_tpu.sim.collision import robot_obstacle_distances
+
+    env = envs.make(args.env)
+    env.resolve_method = "cholesky"
+    fused = args.batch % 128 == 0 and not args.cpu
+    states = envs.make_batched_reset(env, args.batch)(
+        jax.random.PRNGKey(args.seed))
+    rollout = jax.jit(envs.make_batched_rollout(env, args.ticks,
+                                                fused_resolve=fused))
+    t0 = time.perf_counter()
+    final, aux = rollout(states, env.gather_params())
+    jax.block_until_ready(final.sim.q)
+    wall = time.perf_counter() - t0
+
+    solved_any = np.asarray(jnp.any(aux["solved"], axis=1))
+    goals = np.asarray(final.solved_count)
+
+    @jax.jit
+    @jax.vmap
+    def min_clearance(sim):
+        T_all = K.fk_all(env.model, sim.q)
+        _, _, _, d = robot_obstacle_distances(env.model, T_all, sim.obstacles)
+        return jnp.min(d)
+
+    clear = (np.asarray(min_clearance(final.sim))
+             if final.sim.obstacles is not None else None)
+
+    report = {
+        "env": args.env,
+        "batch": args.batch,
+        "ticks": args.ticks,
+        "success_rate": float(solved_any.mean()),
+        "goals_reached_mean": float(goals.mean()),
+        "goals_reached_max": int(goals.max()),
+        "final_penetration_rate": (float((clear < -0.01).mean())
+                                   if clear is not None else None),
+        "nan_rate": float(np.isnan(np.asarray(final.sim.q)).any(axis=1).mean()),
+        "control_steps_per_sec": round(args.batch * args.ticks / wall, 1),
+        "wall_seconds": round(wall, 2),
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

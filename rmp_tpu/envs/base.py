@@ -239,7 +239,10 @@ def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False):
             def body(s, _):
                 s, aux = step(s, params)
                 return s, aux
-            return jax.lax.scan(body, states, None, length=n_ticks)
+            final, aux = jax.lax.scan(body, states, None, length=n_ticks)
+            # match the vmapped path's aux layout: leading env axis (B, T, ...)
+            aux = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), aux)
+            return final, aux
         return rollout
     rollout = make_rollout(env, n_ticks)
     return jax.vmap(rollout, in_axes=(0, None))
