@@ -14,7 +14,7 @@ thousands of states and shard over device meshes (parallel/).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -24,8 +24,7 @@ from rmp_tpu.models.ik import inverse_kinematics
 from rmp_tpu.policies import v1, v2
 from rmp_tpu.sim.collision import (ObstacleSet, cylinder_obstacle,
                                    robot_self_distances, self_collision_pairs)
-from rmp_tpu.sim.data import distance_context
-from rmp_tpu.sim.world import init_state, sense
+from rmp_tpu.sim.world import init_state
 
 MODEL = robots.franka_panda
 EE = robots.PANDA_EE_FRAME

@@ -15,7 +15,7 @@ from rmp_tpu import taskmaps as tm
 from rmp_tpu.envs.base import Env, EnvState, bind_goal, env_state
 from rmp_tpu.models import robots
 from rmp_tpu.policies import v1
-from rmp_tpu.sim.collision import ObstacleSet, cylinder_obstacle
+from rmp_tpu.sim.collision import cylinder_obstacle
 from rmp_tpu.sim.world import init_state
 
 MODEL = robots.two_joint_robot

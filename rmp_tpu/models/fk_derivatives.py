@@ -29,8 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from rmp_tpu.models.kinematics import joint_transforms
-from rmp_tpu.models.urdf import (FIXED, PRISMATIC, REVOLUTE, ROOT,
-                                 KinematicModel)
+from rmp_tpu.models.urdf import FIXED, REVOLUTE, ROOT, KinematicModel
 from rmp_tpu.ops import geom
 
 Array = jax.Array

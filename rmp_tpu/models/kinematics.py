@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rmp_tpu.models.urdf import FIXED, PRISMATIC, REVOLUTE, ROOT, KinematicModel
+from rmp_tpu.models.urdf import PRISMATIC, REVOLUTE, ROOT, KinematicModel
 from rmp_tpu.ops import geom
 
 Array = jax.Array

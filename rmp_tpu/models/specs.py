@@ -13,7 +13,7 @@ import dataclasses
 
 import numpy as np
 
-from rmp_tpu.models.urdf import (_JOINT_TYPES, FIXED, ROOT, CollisionPrimitive,
+from rmp_tpu.models.urdf import (_JOINT_TYPES, ROOT, CollisionPrimitive,
                                  KinematicModel, _hom, _rpy_matrix)
 
 

@@ -15,7 +15,6 @@ re-designed TPU-first:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp
