@@ -86,6 +86,9 @@ class Env:
     # divergence guard: clamp |q̈| and zero non-finite commands (needed for
     # domain-randomized scenes where obstacles can spawn in deep penetration)
     max_qdd: float | None = None
+    # contact dynamics (sim/contact.py): penalty forces at penetrating
+    # closest points, applied through the torque-level physics path
+    contact: bool = False
 
     def gather_params(self) -> tuple:
         return tuple(p.params for p in self.policies)
@@ -142,14 +145,15 @@ def _advance(env: Env, state: EnvState, qdd):
     if env.max_qdd is not None:
         qdd = jnp.clip(jnp.nan_to_num(qdd, nan=0.0, posinf=0.0, neginf=0.0),
                        -env.max_qdd, env.max_qdd)
-    if env.unroll_substeps:
+    if env.unroll_substeps and not env.contact:
         for _ in range(env.control_every):
             sim = physics_step(model, sim, qdd, env.dt,
                                torque_mode=env.torque_mode)
     else:
         def substep(s, _):
             return physics_step(model, s, qdd, env.dt,
-                                torque_mode=env.torque_mode), None
+                                torque_mode=env.torque_mode,
+                                contact=env.contact), None
         sim, _ = jax.lax.scan(substep, sim, None, length=env.control_every)
 
     state = dataclasses.replace(state, sim=sim, steps=state.steps + 1)

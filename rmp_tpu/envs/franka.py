@@ -131,9 +131,12 @@ def env_01_target_rmp_only() -> Env:
                on_solved=_resample_goal([0.3, -0.7, 0.3], [0.7, 0.7, 0.7]))
 
 
-def env_02_provoke_collision() -> Env:
-    """Failure probe: target straight through a cylinder, no obstacle RMPs
-    (working equivalent of the bitrotted 02_provoce_collision.py)."""
+def env_02_provoke_collision(contact: bool = True) -> Env:
+    """Failure probe: target straight through a cylinder with NO obstacle
+    RMPs (working equivalent of the bitrotted 02_provoce_collision.py).
+    With contact=True (default) the arm physically collides with the
+    cylinder — penalty contact forces block it (sim/contact.py) — instead of
+    ghosting through."""
     model = MODEL()
     policies = (v1.target_policy(goal=[0.0, -0.5, 0.5],
                                  taskmap=_ee_pos_taskmap(model),
@@ -148,7 +151,7 @@ def env_02_provoke_collision() -> Env:
 
     return Env(name="franka/02_provoke_collision", model=model,
                policies=policies, reset=reset, ee_frame=model.frame_index(EE),
-               bind_params=_goal_bind())
+               bind_params=_goal_bind(), contact=contact, max_qdd=200.0)
 
 
 def env_03_self_avoidance() -> Env:

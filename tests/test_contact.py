@@ -75,3 +75,32 @@ def test_no_contact_no_torque():
     tau = np.asarray(contact_torques(model, q, jnp.zeros(2), obs,
                                      ContactParams(ground=False)))
     np.testing.assert_allclose(tau, np.zeros(2), atol=1e-6)
+
+
+def test_provoke_collision_env_is_blocked_by_contact():
+    """franka/02: without obstacle RMPs the arm drives into the cylinder;
+    contact forces must noticeably impede it vs the contact-free ghost."""
+    from rmp_tpu import envs
+    from rmp_tpu.envs.base import make_control_step
+    from rmp_tpu.sim.collision import robot_obstacle_distances
+
+    def run(contact):
+        env = envs.franka.env_02_provoke_collision(contact=contact)
+        state = env.reset(jax.random.PRNGKey(0))
+        step = jax.jit(make_control_step(env))
+        min_d = np.inf
+        for _ in range(120):
+            state, _ = step(state, env.gather_params())
+            T_all = K.fk_all(env.model, state.sim.q)
+            _, _, _, d = robot_obstacle_distances(env.model, T_all,
+                                                  state.sim.obstacles)
+            min_d = min(min_d, float(jnp.min(d)))
+        return min_d, state
+
+    d_ghost, _ = run(False)
+    d_contact, s_contact = run(True)
+    # the commanded path grazes the thin cylinder: the ghost penetrates,
+    # the contact run penetrates less (pushed out by the penalty forces)
+    assert d_ghost < -0.004, f"ghost path should penetrate, got {d_ghost}"
+    assert d_contact > d_ghost + 0.002, (d_contact, d_ghost)
+    assert np.isfinite(np.asarray(s_contact.sim.q)).all()
