@@ -222,10 +222,15 @@ class Simulation:
     # -- recording --------------------------------------------------------------
 
     def _capture_frame(self):
-        from rmp_tpu.utils.render import render_scene
-        self._frames.append(render_scene(self._model, self._state,
-                                         objects=self.obstacles,
-                                         goal=self.goal))
+        from rmp_tpu.utils import native
+        if native.available():
+            self._frames.append(native.render_scene_native(
+                self._model, self._state, goal=self.goal))
+        else:
+            from rmp_tpu.utils.render import render_scene
+            self._frames.append(render_scene(self._model, self._state,
+                                             objects=self.obstacles,
+                                             goal=self.goal))
 
     def save_animation(self):
         if self.animation_save_path and self._frames:
