@@ -1,0 +1,32 @@
+"""End-to-end differentiability: gradients flow through full rollouts.
+
+(Beyond-reference capability: the reference's PyBullet C++ physics blocks
+autodiff; here jax.grad works through FK + policies + resolve + integrator.)
+"""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+from experiments.tune_gains import make_loss
+from rmp_tpu import envs
+
+
+def test_rollout_gradients_exist_and_descend():
+    env = envs.make("franka/01_target_rmp_only")
+    env.resolve_method = "cholesky"
+    env.on_solved = None
+    loss, theta, _ = make_loss(env, batch=4, n_ticks=20)
+    vg = jax.jit(jax.value_and_grad(loss))
+    v0, g = vg(theta)
+    g_flat = np.asarray([g["log_p"], g["log_d"]])
+    assert np.all(np.isfinite(g_flat))
+    assert np.linalg.norm(g_flat) > 1e-6, "zero gradient through rollout"
+    # one descent step reduces the loss
+    theta2 = {k: theta[k] - 0.2 * g[k] for k in theta}
+    v1, _ = vg(theta2)
+    assert float(v1) < float(v0), (float(v0), float(v1))
