@@ -274,3 +274,34 @@ PANDA_SPEC = RobotSpec(
                   xyz=(0, 0, 0.105)),
     ),
 )
+
+
+def make_planar_arm_spec(n_links: int, link_length: float = 0.5,
+                         link_mass: float = 0.4,
+                         link_radius: float = 0.04) -> RobotSpec:
+    """Generate an N-link planar revolute arm spec (generality helper:
+    models, envs, and kernels are parameterized by the KinematicModel, not
+    hardcoded to the two reference robots)."""
+    izz = link_mass * link_length ** 2 / 3.0
+    links = [LinkSpec("base_link")]
+    joints = []
+    for i in range(n_links):
+        links.append(LinkSpec(
+            f"link_{i + 1}", link_mass, (link_length / 2, 0, 0),
+            (1e-4, izz, izz, 0, 0, 0),
+            (CollisionPrimitive("capsule", (link_radius, 0, 0),
+                                (link_length - link_radius, 0, 0),
+                                link_radius),)))
+        joints.append(JointSpec(
+            f"joint_{i + 1}", "revolute",
+            "base_link" if i == 0 else f"link_{i}", f"link_{i + 1}",
+            xyz=(0, 0, 0.05) if i == 0 else (link_length, 0, 0),
+            axis=(0, 0, 1), lower=-np.pi, upper=np.pi, velocity=5,
+            effort=100))
+    links.append(LinkSpec("ee", 0.05, (0, 0, 0), (1e-5,) * 3 + (0.0,) * 3,
+                          (CollisionPrimitive("sphere", (0, 0, 0), (0, 0, 0),
+                                              link_radius),)))
+    joints.append(JointSpec("ee_joint", "fixed", f"link_{n_links}", "ee",
+                            xyz=(link_length, 0, 0)))
+    return RobotSpec(name=f"planar_{n_links}link", links=tuple(links),
+                     joints=tuple(joints))
