@@ -98,3 +98,97 @@ def contact_torques(model: KinematicModel, q: Array, qd: Array,
         F = f_n * normal + f_t
         tau = tau + J.T @ F
     return tau
+
+
+# ---------------------------------------------------------------------------
+# Hard (impulse-based) contacts: velocity-level LCP via projected Gauss-Seidel
+# ---------------------------------------------------------------------------
+
+
+def _contact_rows(model: KinematicModel, q: Array, qd: Array,
+                  obstacles: ObstacleSet | None, ground: bool):
+    """Normal-direction contact rows for ALL candidate pairs (static count).
+
+    Returns (J_n (C, n), depth (C,), v_n (C,)) where J_n maps q̇ to the
+    normal approach velocity of each contact (positive = separating).
+    Inactive pairs are handled by the solver's complementarity (λ=0).
+    """
+    T16, Td16, J16, _ = fk_derivatives(model, q, qd)
+    T_all = T16.reshape(-1, 4, 4)
+    p0, p1, radius = link_world_capsules(model, T_all)
+    frames = model.collision_frames
+    L = len(frames)
+
+    rows_J, rows_depth, rows_vn = [], [], []
+
+    def add(frame_row, point, normal, depth):
+        f = frames[frame_row]
+        v, J = _point_kinematics(T16[f], Td16[f], J16[f], point)
+        rows_J.append(normal @ J)
+        rows_depth.append(depth)
+        rows_vn.append(jnp.dot(v, normal))
+
+    if obstacles is not None and obstacles.count > 0:
+        from rmp_tpu.sim.collision import capsule_capsule_query
+        K = obstacles.count
+        a0 = p0[:, None, :].repeat(K, 1)
+        a1 = p1[:, None, :].repeat(K, 1)
+        ra = radius[:, None].repeat(K, 1)
+        b0 = jnp.broadcast_to(obstacles.p0[None], (L, K, 3))
+        b1 = jnp.broadcast_to(obstacles.p1[None], (L, K, 3))
+        rb = jnp.broadcast_to(obstacles.radius[None], (L, K))
+        pos_l, _, normal, dist = capsule_capsule_query(a0, a1, ra, b0, b1, rb)
+        for li in range(L):
+            for ki in range(K):
+                add(li, pos_l[li, ki], normal[li, ki], -dist[li, ki])
+    if ground:
+        for li in range(L):
+            lower = jnp.where(p0[li, 2] < p1[li, 2], p0[li], p1[li])
+            add(li, lower.at[2].add(-radius[li]),
+                jnp.asarray([0.0, 0.0, 1.0]), radius[li] - lower[2])
+
+    return (jnp.stack(rows_J), jnp.stack(rows_depth), jnp.stack(rows_vn))
+
+
+def impulse_contact_velocity(model: KinematicModel, q: Array, qd: Array,
+                             dt: float,
+                             obstacles: ObstacleSet | None = None,
+                             ground: bool = True,
+                             restitution: float = 0.0,
+                             baumgarte: float = 0.2,
+                             slop: float = 1e-3,
+                             iterations: int = 12) -> Array:
+    """q̇ after resolving contact impulses (hard contacts, normal-only).
+
+    Velocity-level LCP:  v⁺ = v + A λ,  0 ≤ λ ⊥ v⁺ + bias ≥ 0, solved by
+    projected Gauss-Seidel on the Delassus operator A = J M⁻¹ Jᵀ with a
+    Baumgarte positional bias — the same family of solver PyBullet's
+    btSequentialImpulseConstraintSolver implements in C++.
+    """
+    from rmp_tpu.sim.dynamics import mass_matrix
+
+    J_n, depth, v_n = _contact_rows(model, q, qd, obstacles, ground)
+    C = J_n.shape[0]
+    active = depth > 0.0
+
+    M = mass_matrix(model, q) + 1e-6 * jnp.eye(model.n_q, dtype=jnp.float32)
+    MinvJT = jnp.linalg.solve(M, J_n.T)                   # (n, C)
+    A = J_n @ MinvJT                                      # (C, C) Delassus
+    diag = jnp.maximum(jnp.diagonal(A), 1e-8)
+
+    # target: v_n+ >= -e * v_n- + baumgarte * (depth - slop)/dt (when active)
+    bias = restitution * jnp.minimum(v_n, 0.0) \
+        - baumgarte * jnp.maximum(depth - slop, 0.0) / dt
+    rhs = v_n + bias                                      # want >= 0
+
+    def body(_, lam):
+        def row(i, lam):
+            resid = rhs[i] + A[i] @ lam
+            new = jnp.maximum(lam[i] - resid / diag[i], 0.0)
+            new = jnp.where(active[i], new, 0.0)
+            return lam.at[i].set(new)
+        return jax.lax.fori_loop(0, C, row, lam)
+
+    lam = jax.lax.fori_loop(0, iterations, body,
+                            jnp.zeros(C, jnp.float32))
+    return qd + MinvJT @ lam
