@@ -105,13 +105,24 @@ def contact_torques(model: KinematicModel, q: Array, qd: Array,
 # ---------------------------------------------------------------------------
 
 
+def _tangent_basis(n):
+    """Two unit tangents orthogonal to n (branchless)."""
+    ref = jnp.where(jnp.abs(n[2]) < 0.9, jnp.asarray([0.0, 0.0, 1.0]),
+                    jnp.asarray([1.0, 0.0, 0.0]))
+    t1 = jnp.cross(n, ref)
+    t1 = t1 / (jnp.linalg.norm(t1) + 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
 def _contact_rows(model: KinematicModel, q: Array, qd: Array,
                   obstacles: ObstacleSet | None, ground: bool):
-    """Normal-direction contact rows for ALL candidate pairs (static count).
+    """Contact rows for ALL candidate pairs (static count).
 
-    Returns (J_n (C, n), depth (C,), v_n (C,)) where J_n maps q̇ to the
-    normal approach velocity of each contact (positive = separating).
-    Inactive pairs are handled by the solver's complementarity (λ=0).
+    Returns (J_n (C, n), depth (C,), v_n (C,), J_t (2C, n), v_t (2C,)) where
+    J_n maps q̇ to the normal approach velocity of each contact (positive =
+    separating) and J_t to the two tangential slip velocities. Inactive pairs
+    are handled by the solver's complementarity (λ=0).
     """
     T16, Td16, J16, _ = fk_derivatives(model, q, qd)
     T_all = T16.reshape(-1, 4, 4)
@@ -120,6 +131,7 @@ def _contact_rows(model: KinematicModel, q: Array, qd: Array,
     L = len(frames)
 
     rows_J, rows_depth, rows_vn = [], [], []
+    rows_Jt, rows_vt = [], []
 
     def add(frame_row, point, normal, depth):
         f = frames[frame_row]
@@ -127,6 +139,11 @@ def _contact_rows(model: KinematicModel, q: Array, qd: Array,
         rows_J.append(normal @ J)
         rows_depth.append(depth)
         rows_vn.append(jnp.dot(v, normal))
+        t1, t2 = _tangent_basis(normal)
+        rows_Jt.append(t1 @ J)
+        rows_Jt.append(t2 @ J)
+        rows_vt.append(jnp.dot(v, t1))
+        rows_vt.append(jnp.dot(v, t2))
 
     if obstacles is not None and obstacles.count > 0:
         from rmp_tpu.sim.collision import capsule_capsule_query
@@ -147,7 +164,8 @@ def _contact_rows(model: KinematicModel, q: Array, qd: Array,
             add(li, lower.at[2].add(-radius[li]),
                 jnp.asarray([0.0, 0.0, 1.0]), radius[li] - lower[2])
 
-    return (jnp.stack(rows_J), jnp.stack(rows_depth), jnp.stack(rows_vn))
+    return (jnp.stack(rows_J), jnp.stack(rows_depth), jnp.stack(rows_vn),
+            jnp.stack(rows_Jt), jnp.stack(rows_vt))
 
 
 def impulse_contact_velocity(model: KinematicModel, q: Array, qd: Array,
@@ -155,40 +173,52 @@ def impulse_contact_velocity(model: KinematicModel, q: Array, qd: Array,
                              obstacles: ObstacleSet | None = None,
                              ground: bool = True,
                              restitution: float = 0.0,
+                             friction: float = 0.5,
                              baumgarte: float = 0.2,
                              slop: float = 1e-3,
                              iterations: int = 12) -> Array:
-    """q̇ after resolving contact impulses (hard contacts, normal-only).
+    """q̇ after resolving contact impulses (hard contacts + box friction).
 
-    Velocity-level LCP:  v⁺ = v + A λ,  0 ≤ λ ⊥ v⁺ + bias ≥ 0, solved by
-    projected Gauss-Seidel on the Delassus operator A = J M⁻¹ Jᵀ with a
-    Baumgarte positional bias — the same family of solver PyBullet's
-    btSequentialImpulseConstraintSolver implements in C++.
+    Velocity-level LCP:  v⁺ = v + A λ,  0 ≤ λ_n ⊥ v⁺_n + bias ≥ 0, with
+    tangential impulses box-clamped to ±μ λ_n — projected Gauss-Seidel on
+    the Delassus operator A = J M⁻¹ Jᵀ with Baumgarte positional bias (the
+    solver family of PyBullet's C++ btSequentialImpulseConstraintSolver).
     """
     from rmp_tpu.sim.dynamics import mass_matrix
 
-    J_n, depth, v_n = _contact_rows(model, q, qd, obstacles, ground)
+    J_n, depth, v_n, J_t, v_t = _contact_rows(model, q, qd, obstacles, ground)
     C = J_n.shape[0]
     active = depth > 0.0
 
+    J_all = jnp.concatenate([J_n, J_t])                   # (3C, n)
     M = mass_matrix(model, q) + 1e-6 * jnp.eye(model.n_q, dtype=jnp.float32)
-    MinvJT = jnp.linalg.solve(M, J_n.T)                   # (n, C)
-    A = J_n @ MinvJT                                      # (C, C) Delassus
+    MinvJT = jnp.linalg.solve(M, J_all.T)                 # (n, 3C)
+    A = J_all @ MinvJT                                    # (3C, 3C) Delassus
     diag = jnp.maximum(jnp.diagonal(A), 1e-8)
 
-    # target: v_n+ >= -e * v_n- + baumgarte * (depth - slop)/dt (when active)
-    bias = restitution * jnp.minimum(v_n, 0.0) \
+    # normal target: v_n+ >= -e * v_n- + baumgarte * (depth - slop)/dt
+    bias_n = restitution * jnp.minimum(v_n, 0.0) \
         - baumgarte * jnp.maximum(depth - slop, 0.0) / dt
-    rhs = v_n + bias                                      # want >= 0
+    rhs = jnp.concatenate([v_n + bias_n, v_t])            # (3C,)
 
     def body(_, lam):
-        def row(i, lam):
+        def norm_row(i, lam):
             resid = rhs[i] + A[i] @ lam
             new = jnp.maximum(lam[i] - resid / diag[i], 0.0)
             new = jnp.where(active[i], new, 0.0)
             return lam.at[i].set(new)
-        return jax.lax.fori_loop(0, C, row, lam)
+        lam = jax.lax.fori_loop(0, C, norm_row, lam)
+
+        def fric_row(r, lam):
+            i = C + r                                     # tangent row index
+            ci = r // 2                                   # owning contact
+            resid = rhs[i] + A[i] @ lam
+            limit = friction * lam[ci]
+            new = jnp.clip(lam[i] - resid / diag[i], -limit, limit)
+            new = jnp.where(active[ci], new, 0.0)
+            return lam.at[i].set(new)
+        return jax.lax.fori_loop(0, 2 * C, fric_row, lam)
 
     lam = jax.lax.fori_loop(0, iterations, body,
-                            jnp.zeros(C, jnp.float32))
+                            jnp.zeros(3 * C, jnp.float32))
     return qd + MinvJT @ lam
