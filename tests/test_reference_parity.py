@@ -32,6 +32,7 @@ if os.path.isdir(REF):
     import rmp2 as ref_rmp2                 # noqa: E402
     import taskmap as ref_taskmap           # noqa: E402
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from rmp_tpu import core as rmp_core  # noqa: E402
@@ -320,3 +321,80 @@ def test_trajectory_parity_closed_loop(ref_fkine_panda):
     traj_ours = rollout(lambda q, qd: our_core.evaluate(q, qd))
     err = np.max(np.abs(traj_ref - traj_ours))
     assert err < 5e-3, f"trajectory divergence {err}"
+
+
+def test_flagship_stack_combined_parity(ref_fkine_panda):
+    """The BENCHMARK workload end-to-end: full franka/06 policy stack
+    (attractor + velocity cap + damping + c-space bias + per-frame obstacle
+    avoidance with live distance data) — combined q̈ vs the reference."""
+    from rmp_tpu import envs as envs_mod
+    from rmp_tpu.sim.world import sense
+
+    env = envs_mod.make("franka/06_cluttered_environment")
+    model = env.model
+    state = env.reset(jax.random.PRNGKey(0))
+
+    for trial in range(3):
+        q = rng.uniform(-1.0, 1.0, model.n_q).astype(np.float32)
+        qd = rng.uniform(-0.5, 0.5, model.n_q).astype(np.float32)
+        import dataclasses
+        sim = dataclasses.replace(state.sim, q=jnp.asarray(q),
+                                  qd=jnp.asarray(qd))
+        _, _, ctx = sense(model, sim)
+
+        # ---- reference core with the same scene/gains -------------------
+        goal = np.asarray(state.sim.goal, dtype=np.float32)
+        ref_chain = ref_taskmap.chain_taskmaps([
+            ref_taskmap.TaskmapByForwardKinematic(ref_fkine_panda,
+                                                  robots.PANDA_EE_FRAME),
+            ref_taskmap.TaskmapFrom4x4ToPosition()])
+        core = ref_rmp.RmpCore(rmps={})
+        core.add_rmp(ref_rmp2.TargetAttractor(
+            goal=goal, accel_p_gain=0.3, accel_d_gain=0.6,
+            accel_norm_eps=0.075, metric_alpha_length_scale=0.05,
+            min_metric_alpha=0.03, max_metric_scalar=1, min_metric_scalar=0.5,
+            proximity_metric_boost_scalar=1.0,
+            proximity_metric_boost_length_scale=0.02,
+            taskmap=ref_chain, name="attractor"))
+        core.add_rmp(ref_rmp2.JointVelocityCap(
+            max_velocity=0.5, velocity_damping_region=0.15, damping_gain=5.0,
+            metric_weight=0.05))
+        core.add_rmp(ref_rmp2.JointDamping(accel_d_gain=1,
+                                           metric_scalar=0.005, inertia=0.3))
+        core.add_rmp(ref_rmp2.CSpaceBiasing(
+            goal=tf.constant([0.0, -0.9, 0.0, -2.8, 0.0, 2.0,
+                              0.7853981633974483, 0.02, 0.02]),
+            metric_scalar=0.005, position_gain=1, damping_gain=2,
+            robust_position_term_thresh=0.5, inertia=0.0001))
+        for i in model.collision_frames:
+            frame = model.frame_names[i]
+            fctx = ctx[frame]
+            tmap = ref_taskmap.chain_taskmaps([
+                ref_taskmap.TaskmapByForwardKinematic(ref_fkine_panda, frame),
+                ref_taskmap.TaskmapJointFrame4x4ToDistance(
+                    pos_on_link_in_base_frame=tf.constant(
+                        np.asarray(fctx["pos_on_link"])),
+                    pos_on_obstacle_in_base_frame=tf.constant(
+                        np.asarray(fctx["pos_on_obstacle"])))])
+            core.add_rmp(ref_rmp2.ObstacleAvoidance(
+                margin=0.0, damping_gain=50, damping_std_dev=0.04,
+                damping_robustness_eps=0.01,
+                damping_velocity_gate_length_scale=0.01, repulsion_gain=800,
+                repulsion_std_dev=0.01, metric_modulation_radius=0.5,
+                metric_scalar=1, metric_exploder_std_dev=0.02,
+                metric_exploder_eps=0.001, taskmap=tmap,
+                name=f"collision_avoidance_for_{frame}"))
+
+        qdd_ref = core.evaluate(q, qd).numpy()
+
+        # ---- ours (same ctx), both derivative modes ----------------------
+        from rmp_tpu.core import evaluate_policies
+        params = env.bind_params(env.gather_params(), sim, env.policies)
+        ctxs = tuple(ctx.get(p.ctx_key) if p.ctx_key else None
+                     for p in env.policies)
+        for mode in ("analytic", "jacfwd"):
+            qdd = np.asarray(evaluate_policies(
+                env.policies, jnp.asarray(q), jnp.asarray(qd), params, ctxs,
+                method="pinv", derivatives=mode))
+            np.testing.assert_allclose(qdd, qdd_ref, atol=5e-3,
+                                       err_msg=f"trial {trial} mode {mode}")
