@@ -398,3 +398,36 @@ def test_flagship_stack_combined_parity(ref_fkine_panda):
                 method="pinv", derivatives=mode))
             np.testing.assert_allclose(qdd, qdd_ref, atol=5e-3,
                                        err_msg=f"trial {trial} mode {mode}")
+
+
+def test_parse_reference_urdf_files():
+    """Our generic URDF parser ingests the reference's actual asset files
+    (mesh collision tags, xacro output formatting) and produces the same
+    kinematic/dynamic model as the spec tables."""
+    from rmp_tpu.models.urdf import parse_urdf
+
+    parsed = parse_urdf(PANDA_URDF)
+    spec = robots.franka_panda()
+    assert parsed.frame_names == spec.frame_names
+    assert parsed.parent == spec.parent
+    assert parsed.joint_type == spec.joint_type
+    assert parsed.motor_names == spec.motor_names
+    np.testing.assert_allclose(parsed.T_constant, spec.T_constant, atol=1e-6)
+    np.testing.assert_allclose(parsed.axis, spec.axis, atol=0)
+    np.testing.assert_allclose(parsed.mass, spec.mass, atol=1e-6)
+    np.testing.assert_allclose(parsed.com, spec.com, atol=1e-6)
+    np.testing.assert_allclose(parsed.inertia, spec.inertia, atol=1e-6)
+    np.testing.assert_allclose(parsed.q_lower, spec.q_lower, atol=1e-6)
+    np.testing.assert_allclose(parsed.q_upper, spec.q_upper, atol=1e-6)
+    assert parsed.has_collision == spec.has_collision
+
+    parsed2 = parse_urdf(TWO_JOINT_URDF)
+    spec2 = robots.two_joint_robot()
+    assert parsed2.frame_names == spec2.frame_names
+    np.testing.assert_allclose(parsed2.T_constant, spec2.T_constant,
+                               atol=1e-6)
+    # FK parity through the parsed model
+    q = rng.uniform(-1, 1, spec.n_q).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(K.fk_all(parsed, jnp.asarray(q))),
+        np.asarray(K.fk_all(spec, jnp.asarray(q))), atol=1e-6)
