@@ -431,3 +431,102 @@ def test_parse_reference_urdf_files():
     np.testing.assert_allclose(
         np.asarray(K.fk_all(parsed, jnp.asarray(q))),
         np.asarray(K.fk_all(spec, jnp.asarray(q))), atol=1e-6)
+
+
+def test_cluttered_closed_loop_trajectory_parity(ref_fkine_panda):
+    """50-tick closed-loop rollout of the FULL cluttered scene: reference
+    controller (per-tick tf.Variable context updates, Datamanager-style,
+    data_management.py:22-37) vs ours, same integrator and same analytic
+    sensing — trajectories must track."""
+    import dataclasses
+
+    from rmp_tpu import envs as envs_mod
+    from rmp_tpu.envs.base import make_control_step
+    from rmp_tpu.sim import dynamics
+    from rmp_tpu.sim.world import sense
+
+    env = envs_mod.make("franka/06_cluttered_environment")
+    env.on_solved = None
+    model = env.model
+    state0 = env.reset(jax.random.PRNGKey(0))
+    goal = np.asarray(state0.sim.goal, dtype=np.float32)
+
+    # ---- reference core with per-frame tf.Variables (Datamanager style) --
+    ref_chain = ref_taskmap.chain_taskmaps([
+        ref_taskmap.TaskmapByForwardKinematic(ref_fkine_panda,
+                                              robots.PANDA_EE_FRAME),
+        ref_taskmap.TaskmapFrom4x4ToPosition()])
+    core = ref_rmp.RmpCore(rmps={})
+    core.add_rmp(ref_rmp2.TargetAttractor(
+        goal=goal, accel_p_gain=0.3, accel_d_gain=0.6, accel_norm_eps=0.075,
+        metric_alpha_length_scale=0.05, min_metric_alpha=0.03,
+        max_metric_scalar=1, min_metric_scalar=0.5,
+        proximity_metric_boost_scalar=1.0,
+        proximity_metric_boost_length_scale=0.02, taskmap=ref_chain,
+        name="attractor"))
+    core.add_rmp(ref_rmp2.JointVelocityCap(
+        max_velocity=0.5, velocity_damping_region=0.15, damping_gain=5.0,
+        metric_weight=0.05))
+    core.add_rmp(ref_rmp2.JointDamping(accel_d_gain=1, metric_scalar=0.005,
+                                       inertia=0.3))
+    core.add_rmp(ref_rmp2.CSpaceBiasing(
+        goal=tf.constant([0.0, -0.9, 0.0, -2.8, 0.0, 2.0,
+                          0.7853981633974483, 0.02, 0.02]),
+        metric_scalar=0.005, position_gain=1, damping_gain=2,
+        robust_position_term_thresh=0.5, inertia=0.0001))
+    n_obs = state0.sim.obstacles.count
+    frame_vars = {}
+    for i in model.collision_frames:
+        frame = model.frame_names[i]
+        v_link = tf.Variable(tf.zeros([n_obs, 3]), trainable=False)
+        v_obs = tf.Variable(tf.zeros([n_obs, 3]), trainable=False)
+        frame_vars[frame] = (v_link, v_obs)
+        tmap = ref_taskmap.chain_taskmaps([
+            ref_taskmap.TaskmapByForwardKinematic(ref_fkine_panda, frame),
+            ref_taskmap.TaskmapJointFrame4x4ToDistance(
+                pos_on_link_in_base_frame=v_link,
+                pos_on_obstacle_in_base_frame=v_obs)])
+        core.add_rmp(ref_rmp2.ObstacleAvoidance(
+            margin=0.0, damping_gain=50, damping_std_dev=0.04,
+            damping_robustness_eps=0.01,
+            damping_velocity_gate_length_scale=0.01, repulsion_gain=800,
+            repulsion_std_dev=0.01, metric_modulation_radius=0.5,
+            metric_scalar=1, metric_exploder_std_dev=0.02,
+            metric_exploder_eps=0.001, taskmap=tmap,
+            name=f"collision_avoidance_for_{frame}"))
+
+    def rollout_reference(n_ticks):
+        sim = state0.sim
+        traj = [np.asarray(sim.q)]
+        for _ in range(n_ticks):
+            q, qd, ctx = sense(model, sim)
+            for i in model.collision_frames:
+                frame = model.frame_names[i]
+                v_link, v_obs = frame_vars[frame]
+                v_link.assign(np.asarray(ctx[frame]["pos_on_link"]))
+                v_obs.assign(np.asarray(ctx[frame]["pos_on_obstacle"]))
+            qdd = core.evaluate(np.asarray(q), np.asarray(qd)).numpy()
+            for _ in range(10):
+                qn, qdn = dynamics.semi_implicit_euler_step(
+                    model, sim.q, sim.qd, jnp.asarray(qdd), 0.01)
+                sim = dataclasses.replace(sim, q=qn, qd=qdn)
+            traj.append(np.asarray(sim.q))
+        return np.stack(traj)
+
+    def rollout_ours(n_ticks):
+        step = jax.jit(make_control_step(env))
+        st = state0
+        traj = [np.asarray(st.sim.q)]
+        for _ in range(n_ticks):
+            st, _ = step(st, env.gather_params())
+            traj.append(np.asarray(st.sim.q))
+        return np.stack(traj)
+
+    T = 50
+    traj_ref = rollout_reference(T)
+    traj_ours = rollout_ours(T)
+    err = np.max(np.abs(traj_ref - traj_ours))
+    assert err < 2e-2, f"cluttered closed-loop divergence {err}"
+    # and the halfway point is already tight (divergence compounds)
+    err_half = np.max(np.abs(traj_ref[:25] - traj_ours[:25]))
+    assert err_half < 5e-3, f"early divergence {err_half}"
