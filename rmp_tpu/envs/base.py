@@ -207,6 +207,9 @@ def make_batched_control_step(env: Env):
                            derivatives=env.derivatives)
 
     def step(states: EnvState, params: tuple):
+        # batch-major rows + one fused transpose into the kernel's
+        # batch-on-lanes layout (measured faster than producing batch-minor
+        # rows via vmap out_axes=-1: strided producer writes lose ~7%)
         J, W, v = jax.vmap(rows, in_axes=(0, None))(states, params)
         qdd = pullback_resolve(J, W, v)                   # (B, n)
         return jax.vmap(lambda s, a: _advance(env, s, a))(states, qdd)

@@ -90,11 +90,23 @@ def pullback_resolve(J: Array, W: Array, v: Array,
     (pad the env batch); R, n are small static dims (R ~ 100, n ~ 9).
     """
     B, R, n = J.shape
-    assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
     # batch-on-lanes layout
     Jt = jnp.transpose(J, (2, 1, 0))      # (n, R, B)
     Wt = jnp.transpose(W, (2, 1, 0))
     vt = jnp.transpose(v, (1, 0))         # (R, B)
+    return pullback_resolve_t(Jt, Wt, vt, ridge=ridge)
+
+
+@functools.partial(jax.jit, static_argnames=("ridge",))
+def pullback_resolve_t(Jt: Array, Wt: Array, vt: Array,
+                       ridge: float = 1e-6) -> Array:
+    """Transposed-input variant: Jt, Wt (n, R, B); vt (R, B) -> (B, n).
+
+    Lets producers emit batch-minor layouts directly (e.g. vmap with
+    out_axes=-1) so no standalone transpose pass touches the ~30 MB of rows.
+    """
+    n, R, B = Jt.shape
+    assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
 
     grid = (B // LANES,)
     out = pl.pallas_call(
