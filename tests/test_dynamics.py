@@ -164,3 +164,77 @@ def test_crba_matches_id_trick():
             M_id = np.asarray(dynamics.mass_matrix(model, q))
             M_crba = np.asarray(dynamics.mass_matrix_crba(model, q))
             np.testing.assert_allclose(M_crba, M_id, atol=2e-4)
+
+
+def test_energy_conservation_free_swing():
+    """Gravity-free, damping-free torque-mode dynamics conserve kinetic
+    energy to integrator order (semi-implicit Euler drift stays bounded)."""
+    model = robots.two_joint_robot()
+    q = jnp.asarray([0.4, -0.9], jnp.float32)
+    qd = jnp.asarray([1.0, -0.5], jnp.float32)
+    no_g = jnp.zeros(3, jnp.float32)
+
+    def energy(q, qd):
+        M = dynamics.mass_matrix(model, q)
+        return 0.5 * qd @ M @ qd
+
+    e0 = float(energy(q, qd))
+    dt = 0.001
+
+    @jax.jit
+    def step(q, qd):
+        qdd = dynamics.forward_dynamics(model, q, qd,
+                                        jnp.zeros(2), gravity=no_g)
+        return dynamics.semi_implicit_euler_step(model, q, qd, qdd, dt,
+                                                 enforce_limits=False)
+
+    for _ in range(2000):   # 2 seconds
+        q, qd = step(q, qd)
+    e1 = float(energy(q, qd))
+    assert abs(e1 - e0) / e0 < 0.05, (e0, e1)
+
+
+def test_pendulum_period_torque_mode():
+    """Small-angle pendulum period under gravity matches the closed form.
+
+    One revolute joint about the x-axis (link hangs along -z when q=0):
+    T = 2*pi*sqrt(I_total / (m g l_com)).
+    """
+    from rmp_tpu.models.specs import (JointSpec, LinkSpec, RobotSpec,
+                                      build_model)
+    m, l = 0.7, 0.5
+    # point mass: inertia ABOUT THE COM ~ 0 (the m*l^2 term about the hinge
+    # comes from the com offset via the parallel-axis contribution in RNEA)
+    izz = m * l * l
+    spec = RobotSpec(
+        name="pendulum",
+        links=(LinkSpec("base"),
+               LinkSpec("bob", m, (0, 0, -l), (1e-6, 1e-6, 1e-6, 0, 0, 0))),
+        joints=(JointSpec("hinge", "revolute", "base", "bob",
+                          xyz=(0, 0, 1.0), axis=(1, 0, 0),
+                          lower=-3.14, upper=3.14, velocity=100,
+                          effort=100),))
+    model = build_model(spec)
+    q = jnp.asarray([0.1], jnp.float32)   # small angle
+    qd = jnp.zeros(1, jnp.float32)
+    dt = 0.001
+
+    @jax.jit
+    def step(q, qd):
+        qdd = dynamics.forward_dynamics(model, q, qd, jnp.zeros(1))
+        return dynamics.semi_implicit_euler_step(model, q, qd, qdd, dt,
+                                                 enforce_limits=False)
+
+    # count a full period via two successive positive-going zero crossings
+    crossings = []
+    prev = float(q[0])
+    for i in range(4000):
+        q, qd = step(q, qd)
+        cur = float(q[0])
+        if prev < 0 <= cur:
+            crossings.append(i * dt)
+        prev = cur
+    assert len(crossings) >= 2, "pendulum did not oscillate"
+    period = crossings[1] - crossings[0]
+    expected = 2 * np.pi * np.sqrt(izz / (m * 9.81 * l))
+    np.testing.assert_allclose(period, expected, rtol=0.03)
