@@ -66,7 +66,8 @@ def init_state(model: KinematicModel, q=None, qd=None,
 def physics_step(model: KinematicModel, state: SimState, qdd_desired: Array,
                  dt: float, torque_mode: bool = False,
                  enforce_limits: bool = True,
-                 contact: bool = False, contact_params=None) -> SimState:
+                 contact: bool = False, contact_params=None,
+                 contact_model: str = "penalty") -> SimState:
     """One physics step at Δt.
 
     torque_mode=False (default): the commanded acceleration is realized
@@ -83,7 +84,7 @@ def physics_step(model: KinematicModel, state: SimState, qdd_desired: Array,
         tau = dynamics.inverse_dynamics(model, state.q, state.qd, qdd_desired)
         tau = jnp.clip(tau, -jnp.asarray(model.effort_limit),
                        jnp.asarray(model.effort_limit))
-        if contact:
+        if contact and contact_model == "penalty":
             from rmp_tpu.sim.contact import ContactParams, contact_torques
             tau = tau + contact_torques(
                 model, state.q, state.qd, state.obstacles,
@@ -91,6 +92,19 @@ def physics_step(model: KinematicModel, state: SimState, qdd_desired: Array,
         qdd = dynamics.forward_dynamics(model, state.q, state.qd, tau)
     q, qd = dynamics.semi_implicit_euler_step(model, state.q, state.qd, qdd,
                                               dt, enforce_limits)
+    if contact and contact_model == "impulse":
+        # hard contacts: velocity-level impulse resolution post-integration
+        from rmp_tpu.sim.contact import impulse_contact_velocity
+        qd = impulse_contact_velocity(model, state.q, qd, dt,
+                                      obstacles=state.obstacles)
+        q = state.q + qd * dt
+        if enforce_limits:
+            low = jnp.asarray(model.q_lower)
+            high = jnp.asarray(model.q_upper)
+            below, above = q < low, q > high
+            q = jnp.clip(q, low, high)
+            qd = jnp.where(below & (qd < 0), 0.0, qd)
+            qd = jnp.where(above & (qd > 0), 0.0, qd)
     return dataclasses.replace(state, q=q, qd=qd, t=state.t + dt)
 
 

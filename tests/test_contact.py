@@ -138,3 +138,18 @@ def test_impulse_contacts_rest_on_ground():
     # hard contacts keep worst-case transient penetration ~mm-scale
     # (steady-state ~0.3 mm), vs the penalty model's ~2-3 cm compliance
     assert worst > -0.01, f"hard contact penetrated: {worst}"
+
+
+def test_physics_step_impulse_model():
+    """physics_step(contact_model='impulse') supports the collapsing arm."""
+    from rmp_tpu.sim import world
+
+    model = robots.franka_panda()
+    state = world.init_state(model, q=robots.PANDA_Q_READY)
+    step = jax.jit(lambda s: world.physics_step(
+        model, s, jnp.zeros(model.n_q), dt=0.005, torque_mode=True,
+        contact=True, contact_model="impulse"))
+    for _ in range(400):
+        state = step(state)
+    assert np.isfinite(np.asarray(state.q)).all()
+    assert _min_ground_clearance(model, state.q) > -0.01
