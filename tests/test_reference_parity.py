@@ -530,3 +530,58 @@ def test_cluttered_closed_loop_trajectory_parity(ref_fkine_panda):
     # and the halfway point is already tight (divergence compounds)
     err_half = np.max(np.abs(traj_ref[:25] - traj_ours[:25]))
     assert err_half < 5e-3, f"early divergence {err_half}"
+
+
+def test_two_joint_obstacle_stack_parity(ref_fkine_two_joint):
+    """two_joint/05's v1 stack (TargetPolicy + per-frame CollisionAvoidance on
+    FK ∘ relative-offset ∘ position chains) — combined q̈ vs the reference,
+    with live distance data from our analytic sensing."""
+    import dataclasses
+
+    from rmp_tpu import envs as envs_mod
+    from rmp_tpu.sim.world import sense
+
+    env = envs_mod.make("two_joint/05_obstacle_avoidance")
+    model = env.model
+    state = env.reset(jax.random.PRNGKey(0))
+
+    for _ in range(3):
+        q = rng.uniform(-1.5, 1.5, 2).astype(np.float32)
+        qd = rng.uniform(-0.5, 0.5, 2).astype(np.float32)
+        sim = dataclasses.replace(state.sim, q=jnp.asarray(q),
+                                  qd=jnp.asarray(qd))
+        _, _, ctx = sense(model, sim)
+        goal = np.asarray(state.sim.goal, dtype=np.float32)
+
+        ref_core = ref_rmp.RmpCore(rmps={})
+        ref_chain = ref_taskmap.chain_taskmaps([
+            ref_taskmap.TaskmapByForwardKinematic(ref_fkine_two_joint,
+                                                  "link_23"),
+            ref_taskmap.TaskmapFrom4x4ToPosition()])
+        ref_core.add_rmp(ref_rmp.TargetPolicy(
+            alpha=0.1, beta=0.1, c=0.1, goal=goal, name="target",
+            taskmap=ref_chain))
+        for i, frame in enumerate(model.frame_names):
+            fctx = ctx[frame]
+            tmap = ref_taskmap.chain_taskmaps([
+                ref_taskmap.TaskmapByForwardKinematic(ref_fkine_two_joint,
+                                                      frame),
+                ref_taskmap.TaskmapRelative4x4(relative_pos=tf.constant(
+                    np.asarray(fctx["relative_position"]))),
+                ref_taskmap.TaskmapFrom4x4ToPosition()])
+            ref_core.add_rmp(ref_rmp.CollisionAvoidance(
+                d=tf.constant(np.asarray(fctx["distance"])),
+                vec=tf.constant(np.asarray(fctx["normal"])),
+                eta_rep=0.1 * np.e, nu_rep=0.3, eta_damp=1, nu_damp=0.3,
+                r=1.1, c=1e5, taskmap=tmap,
+                name=f"collision_avoidance_for_{frame}"))
+        qdd_ref = ref_core.evaluate(q, qd).numpy()
+
+        from rmp_tpu.core import evaluate_policies
+        params = env.bind_params(env.gather_params(), sim, env.policies)
+        ctxs = tuple(ctx.get(p.ctx_key) if p.ctx_key else None
+                     for p in env.policies)
+        qdd = np.asarray(evaluate_policies(
+            env.policies, jnp.asarray(q), jnp.asarray(qd), params, ctxs,
+            method="pinv", derivatives="analytic"))
+        np.testing.assert_allclose(qdd, qdd_ref, atol=5e-3)
