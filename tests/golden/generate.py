@@ -64,6 +64,39 @@ def main():
     print("wrote franka01_trajectory.npz",
           np.stack(traj_q).shape, np.stack(traj_qdd).shape)
 
+    # --- two-joint 01 policy set, 40 ticks ---------------------------------
+    model2 = robots.two_joint_robot()
+    fkine2 = ref_kin.UrdfForwardKinematic(
+        urdf_filepath=os.path.join(REF, "urdf",
+                                   "TwoJointRobot_wo_fixedJoints.urdf"),
+        order=list(model2.motor_names))
+    goal2 = np.array([1.4, -1.4, 0.1], dtype=np.float32)
+    chain2 = ref_taskmap.chain_taskmaps([
+        ref_taskmap.TaskmapByForwardKinematic(fkine2, "link_23"),
+        ref_taskmap.TaskmapFrom4x4ToPosition()])
+    core2 = ref_rmp.RmpCore(rmps={})
+    core2.add_rmp(ref_rmp.TargetPolicy(alpha=0.1, beta=0.5, c=0.1,
+                                       goal=goal2, name="target",
+                                       taskmap=chain2))
+    # non-singular start (the reference's q=0 start crosses the stretched-arm
+    # singularity, where pinv cutoffs dominate and trajectories are chaotic)
+    q = np.array([0.6, -0.9], dtype=np.float32)
+    qd = np.zeros(2, dtype=np.float32)
+    traj_q, traj_qdd = [q.copy()], []
+    for _ in range(40):
+        qdd = core2.evaluate(q, qd).numpy().astype(np.float32)
+        traj_qdd.append(qdd.copy())
+        for _ in range(10):
+            q, qd = (np.asarray(v) for v in dynamics.semi_implicit_euler_step(
+                model2, jnp.asarray(q), jnp.asarray(qd), jnp.asarray(qdd),
+                0.01))
+        traj_q.append(q.copy())
+    np.savez(os.path.join(OUT, "two_joint01_trajectory.npz"),
+             goal=goal2, q0=np.array([0.6, -0.9], dtype=np.float32),
+             q=np.stack(traj_q), qdd=np.stack(traj_qdd))
+    print("wrote two_joint01_trajectory.npz",
+          np.stack(traj_q).shape, np.stack(traj_qdd).shape)
+
 
 if __name__ == "__main__":
     main()
