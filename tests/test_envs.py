@@ -122,7 +122,7 @@ def test_franka_05_avoids_obstacle():
 
 def test_franka_06_cluttered_reaches_multiple_goals():
     env = envs.make("franka/06_cluttered_environment")
-    final, aux = _run(env, 1200)
+    final, aux = _run(env, 800)
     # the flagship demo: should advance through several of the 6 goals
     assert int(final.solved_count) >= 2, \
         f"only {int(final.solved_count)} goals reached"

@@ -64,7 +64,7 @@ def ref_fkine_two_joint():
 def test_fk_parity_all_frames(ref_fkine_panda):
     model = robots.franka_panda()
     assert tuple(ref_fkine_panda.frame_names) == model.frame_names
-    for _ in range(20):
+    for _ in range(8):
         q = rng.uniform(robots.PANDA_Q_LIM_LOW, robots.PANDA_Q_LIM_HIGH
                         ).astype(np.float32)
         ours = np.asarray(K.fk_all(model, jnp.asarray(q)))
@@ -77,7 +77,7 @@ def test_fk_parity_all_frames(ref_fkine_panda):
 
 def test_fk_parity_two_joint(ref_fkine_two_joint):
     model = robots.two_joint_robot()
-    for _ in range(20):
+    for _ in range(8):
         q = rng.uniform(-np.pi, np.pi, 2).astype(np.float32)
         ours = np.asarray(K.fk_all(model, jnp.asarray(q)))
         for i, frame in enumerate(model.frame_names):
