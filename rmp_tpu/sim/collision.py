@@ -138,6 +138,27 @@ def link_world_capsules(model: KinematicModel, T_all: Array):
     return p0, p1, radius
 
 
+def link_world_capsules_all(model: KinematicModel, T_all: Array):
+    """World-frame capsules of EVERY collision primitive (multi-primitive
+    links supported).  Returns (p0 (P,3), p1 (P,3), radius (P,), frame_rows)
+    where frame_rows[i] gives the collision-frame ROW (index into
+    model.collision_frames) owning primitive i (static tuple)."""
+    import numpy as np
+    frames = model.collision_frames
+    p0_local, p1_local, radii, rows, owners = [], [], [], [], []
+    for row, f in enumerate(frames):
+        for prim in model.collision[f]:
+            p0_local.append(prim.p0)
+            p1_local.append(prim.p1)
+            radii.append(prim.radius)
+            rows.append(row)
+            owners.append(f)
+    T = T_all[jnp.asarray(owners)]                    # (P, 4, 4)
+    p0 = geom.transform_point(T, jnp.asarray(np.asarray(p0_local, np.float32)))
+    p1 = geom.transform_point(T, jnp.asarray(np.asarray(p1_local, np.float32)))
+    return p0, p1, jnp.asarray(radii, jnp.float32), tuple(rows)
+
+
 def robot_obstacle_distances(model: KinematicModel, T_all: Array,
                              obstacles: ObstacleSet):
     """All link x obstacle closest-point queries.
@@ -146,16 +167,42 @@ def robot_obstacle_distances(model: KinematicModel, T_all: Array,
     (L, K, 3) / (L, K, 3) / (L, K, 3) / (L, K) — the fixed-capacity
     replacement for the reference's per-tick Python pair loop
     (simulation.py:443-484) + Datamanager variable mutation.
+
+    Multi-primitive links are supported: the query runs over every collision
+    primitive and keeps, per (frame, obstacle), the CLOSEST primitive's
+    result — mirroring PyBullet's single closest point per link pair
+    (simulation.py:467-472).
     """
-    p0, p1, radius = link_world_capsules(model, T_all)      # (L, ...)
-    L, K = p0.shape[0], obstacles.count
+    p0, p1, radius, rows = link_world_capsules_all(model, T_all)  # (P, ...)
+    P, K = p0.shape[0], obstacles.count
+    L = len(model.collision_frames)
     a0 = p0[:, None, :].repeat(K, 1)
     a1 = p1[:, None, :].repeat(K, 1)
     ra = radius[:, None].repeat(K, 1)
-    b0 = jnp.broadcast_to(obstacles.p0[None], (L, K, 3))
-    b1 = jnp.broadcast_to(obstacles.p1[None], (L, K, 3))
-    rb = jnp.broadcast_to(obstacles.radius[None], (L, K))
-    return capsule_capsule_query(a0, a1, ra, b0, b1, rb)
+    b0 = jnp.broadcast_to(obstacles.p0[None], (P, K, 3))
+    b1 = jnp.broadcast_to(obstacles.p1[None], (P, K, 3))
+    rb = jnp.broadcast_to(obstacles.radius[None], (P, K))
+    pos_l, pos_o, n, d = capsule_capsule_query(a0, a1, ra, b0, b1, rb)
+    if P == L:                       # one primitive per frame: no reduction
+        return pos_l, pos_o, n, d
+    out_pl, out_po, out_n, out_d = [], [], [], []
+    for row in range(L):
+        idx = [i for i, r in enumerate(rows) if r == row]
+        if len(idx) == 1:
+            i = idx[0]
+            out_pl.append(pos_l[i]); out_po.append(pos_o[i])
+            out_n.append(n[i]); out_d.append(d[i])
+        else:
+            sel = jnp.asarray(idx)
+            dd = d[sel]                               # (Pi, K)
+            best = jnp.argmin(dd, axis=0)             # (K,)
+            take = lambda x: jnp.take_along_axis(
+                x[sel], best[None, :, None] if x.ndim == 3 else best[None, :],
+                axis=0)[0]
+            out_pl.append(take(pos_l)); out_po.append(take(pos_o))
+            out_n.append(take(n)); out_d.append(take(d))
+    return (jnp.stack(out_pl), jnp.stack(out_po), jnp.stack(out_n),
+            jnp.stack(out_d))
 
 
 def self_collision_pairs(model: KinematicModel, n_neighbors: int = 3):

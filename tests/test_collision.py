@@ -118,3 +118,37 @@ def test_self_collision_pairs_exclude_neighbors():
     T_all = K.fk_all(model, _j(robots.PANDA_Q_READY))
     _, _, _, d = C.robot_self_distances(model, T_all, pairs)
     assert np.all(np.isfinite(np.asarray(d)))
+
+
+def test_multi_primitive_link_takes_closest():
+    """Links with several collision primitives report the closest one per
+    obstacle (PyBullet single-closest-point semantics)."""
+    from rmp_tpu.models.specs import (JointSpec, LinkSpec, RobotSpec,
+                                      build_model)
+    from rmp_tpu.models.urdf import CollisionPrimitive
+
+    # one link with TWO capsules: along +x and along +y
+    spec = RobotSpec(
+        name="elbow",
+        links=(LinkSpec("base"),
+               LinkSpec("l1", 1.0, (0, 0, 0), (0.1,) * 3 + (0.0,) * 3,
+                        (CollisionPrimitive("capsule", (0, 0, 0), (1, 0, 0), 0.05),
+                         CollisionPrimitive("capsule", (0, 0, 0), (0, 1, 0), 0.05)))),
+        joints=(JointSpec("j1", "revolute", "base", "l1", axis=(0, 0, 1),
+                          lower=-3, upper=3),))
+    model = build_model(spec)
+    q = jnp.zeros(1)
+    T_all = K.fk_all(model, q)
+    # obstacle near the +y arm tip: the y-capsule must win
+    obs = C.sphere_obstacle([0.1, 1.0, 0.3], 0.05)
+    pos_l, pos_o, n, d = C.robot_obstacle_distances(model, T_all, obs)
+    assert d.shape == (1, 1)
+    # closest point should be near the y-arm (pos_on_link y ~ 1.0 region)
+    pl = np.asarray(pos_l)[0, 0]
+    assert pl[1] > 0.5, f"picked wrong primitive: {pl}"
+    # distance matches a direct y-capsule query
+    _, _, _, d_direct = C.capsule_capsule_query(
+        jnp.asarray([0.0, 0, 0]), jnp.asarray([0.0, 1, 0]), jnp.asarray(0.05),
+        jnp.asarray([0.1, 1.0, 0.3]), jnp.asarray([0.1, 1.0, 0.3]),
+        jnp.asarray(0.05))
+    np.testing.assert_allclose(float(d[0, 0]), float(d_direct), atol=1e-6)
