@@ -18,6 +18,7 @@ REGISTRY = {
     "franka/05_obstacle_avoidance": franka.env_05_obstacle_avoidance,
     "franka/06_cluttered_environment": franka.env_06_cluttered_environment,
     "franka/randomized_cluttered": franka.env_randomized_cluttered,
+    "franka/pose_target": franka.env_pose_target,
 }
 
 

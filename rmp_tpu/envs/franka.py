@@ -279,6 +279,39 @@ def cluttered_obstacles() -> ObstacleSet:
                             for p, o, r, h in cyl])
 
 
+def env_pose_target() -> Env:
+    """Position + orientation control: the EE moves to a new position while
+    HOLDING its initial orientation, via a second attractor on the 6D
+    rotation taskmap (orientation taskmaps exist in the reference but no
+    experiment exercises them; its quaternion map is stubbed)."""
+    from rmp_tpu.models import kinematics as K
+    from rmp_tpu.ops import geom
+
+    model = MODEL()
+    ee = model.frame_index(EE)
+    T0 = K.fk_frame(model, jnp.asarray(Q_READY), ee)
+    r6_goal = jnp.concatenate([T0[:3, 0], T0[:3, 1]])
+
+    policies = (
+        v1.target_policy(goal=[0.45, 0.3, 0.5],
+                         taskmap=_ee_pos_taskmap(model),
+                         alpha=0.15, beta=0.6, c=0.1, name="target"),
+        v1.target_policy(goal=r6_goal,
+                         taskmap=tm.chain(tm.fk_frame(model, EE),
+                                          tm.to_rotation6()),
+                         alpha=0.4, beta=0.8, c=0.1, name="orientation_hold"),
+        v2.joint_damping(accel_d_gain=1, metric_scalar=0.005, inertia=0.3),
+    )
+
+    def reset(key):
+        sim = init_state(model, q=Q_READY, goal=[0.45, 0.3, 0.5])
+        return env_state(sim, key)
+
+    return Env(name="franka/pose_target", model=model, policies=policies,
+               reset=reset, ee_frame=ee, bind_params=_goal_bind(),
+               solved_tol=0.03)
+
+
 def env_randomized_cluttered(n_obstacles: int = 7) -> Env:
     """Domain-randomized cluttered scenes: every env draws its own obstacle
     set, initial robot jitter, and goal from the reference's randomization

@@ -181,6 +181,18 @@ def to_quaternion() -> Taskmap:
     return Taskmap(fn)
 
 
+def to_rotation6() -> Taskmap:
+    """(P, 16) flattened 4x4 -> (P, 6): first two rotation columns (the
+    continuous 6D rotation representation — no euler wrap or quaternion
+    double-cover discontinuities; beyond the reference's taskmap set, which
+    only offers euler + a stubbed quaternion map)."""
+    def fn(x, ctx):
+        del ctx
+        R = x.reshape(-1, 4, 4)[:, :3, :3]
+        return jnp.concatenate([R[:, :, 0], R[:, :, 1]], axis=-1)
+    return Taskmap(fn)
+
+
 def relative_offsets(ctx_field: str = "relative_position") -> Taskmap:
     """(1, 16) frame 4x4 -> (P, 16): frame composed with P pure-translation
     offsets taken from ctx[ctx_field] (P, 3) (expressed in the frame).

@@ -183,3 +183,35 @@ def test_torque_mode_rollout():
     qa, qb = np.asarray(sa.sim.q), np.asarray(sb.sim.q)
     assert np.isfinite(qb).all()
     np.testing.assert_allclose(qa, qb, atol=5e-3)
+
+
+def test_pose_target_holds_orientation():
+    """Position+orientation control: the 6D-rotation attractor keeps the EE
+    orientation near its start while the position target is pursued; a
+    position-only controller drifts far more."""
+    from rmp_tpu.models import kinematics as K
+
+    def orientation_drift(env, ticks=250):
+        ee = env.ee_frame
+        state = env.reset(jax.random.PRNGKey(0))
+        T0 = np.asarray(K.fk_frame(env.model, state.sim.q, ee))
+        final, aux = _run(env, ticks)
+        T1 = np.asarray(K.fk_frame(env.model, final.sim.q, ee))
+        # geodesic angle between rotations
+        R_err = T0[:3, :3].T @ T1[:3, :3]
+        angle = np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1))
+        ee_err = np.linalg.norm(T1[:3, 3] - np.asarray(final.sim.goal))
+        return angle, ee_err
+
+    env = envs.make("franka/pose_target")
+    angle_held, ee_err = orientation_drift(env)
+    assert ee_err < 0.06, f"position not reached: {ee_err}"
+    assert angle_held < 0.25, f"orientation drifted: {angle_held}"
+
+    # ablation: position-only controller drifts much more
+    import dataclasses as dc
+    env_pos = envs.make("franka/pose_target")
+    env_pos = dc.replace(env_pos, policies=(env_pos.policies[0],
+                                            env_pos.policies[2]))
+    angle_free, _ = orientation_drift(env_pos)
+    assert angle_free > 2 * angle_held, (angle_free, angle_held)
