@@ -7,6 +7,8 @@ against a like-structured template.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,3 +31,26 @@ def restore_checkpoint(path: str, like):
     restored = serialization.from_bytes(target, data)
     leaves = [jnp.asarray(restored[str(i)]) for i in range(len(template_leaves))]
     return jax.tree.unflatten(treedef, leaves)
+
+
+def save_checkpoint_sharded(path: str, tree) -> None:
+    """Orbax checkpoint of a (possibly sharded) pytree — each host writes its
+    own shards; restores onto any compatible mesh. Use for pod-scale batched
+    EnvState snapshots; the msgpack path above covers single-host use."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), jax.tree.leaves(tree), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint_sharded(path: str, like):
+    """Restore an orbax checkpoint into `like`'s structure and shardings."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    leaves, treedef = jax.tree.flatten(like)
+    abstract = [jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=getattr(
+        l, "sharding", None)) for l in leaves]
+    restored = ckptr.restore(os.path.abspath(path), abstract)
+    return jax.tree.unflatten(treedef, restored)

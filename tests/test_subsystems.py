@@ -141,3 +141,21 @@ def test_native_renderer_if_toolchain():
     assert frame.shape == (48, 64, 3)
     # scene is actually drawn: not a uniform image
     assert frame.reshape(-1, 3).std(0).mean() > 1.0
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of a mesh-sharded batched EnvState."""
+    from rmp_tpu.utils.checkpoint import (restore_checkpoint_sharded,
+                                          save_checkpoint_sharded)
+
+    mesh = make_mesh()
+    env = envs.make("franka/06_cluttered_environment")
+    states = envs.make_batched_reset(env, 16)(jax.random.PRNGKey(5))
+    states = shard_env_batch(states, mesh)
+    path = str(tmp_path / "sharded_ckpt")
+    save_checkpoint_sharded(path, states)
+    restored = restore_checkpoint_sharded(path, states)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=0), states, restored)
+    # restored arrays keep the mesh sharding
+    assert restored.sim.q.sharding == states.sim.q.sharding
