@@ -50,18 +50,21 @@ def resolve(A: Array, f: Array, method: str = "pinv") -> Array:
 
     method:
       'pinv'     — Moore-Penrose via SVD (reference parity, rmp.py:153-155).
-      'solve'    — LU solve (fast TPU path; identical to pinv whenever the
-                   combined metric is invertible, which every shipped policy
-                   stack guarantees via its damping/inertia terms).
-      'cholesky' — ridge-regularized PSD solve, trace-time unrolled
-                   (fastest on TPU by ~20x over lax.linalg at n=9; valid when
-                   all leaf metrics are PSD — true for every shipped policy
-                   except the v1 JointLimitAvoidance asymmetric-metric quirk).
+      'solve'    — trace-time-unrolled pivoted LU (fast TPU path; identical
+                   to pinv whenever the combined metric is invertible, and
+                   valid for INDEFINITE metrics — which the stacks can
+                   produce near the JointVelocityCap singular band).
+      'cholesky' — ridge-regularized PSD solve, trace-time unrolled (fastest;
+                   ONLY valid while the combined metric stays numerically PD
+                   — violated near the velocity-cap band and by the v1
+                   JointLimitAvoidance asymmetric-metric quirk; prefer
+                   'solve' for long/randomized rollouts).
     """
     if method == "pinv":
         return geom.mv(jnp.linalg.pinv(A), f)
     if method == "solve":
-        return jnp.linalg.solve(A, f)
+        from rmp_tpu.ops.linalg import lu_solve_unrolled
+        return lu_solve_unrolled(A, f)
     if method == "cholesky":
         from rmp_tpu.ops.linalg import cholesky_solve_unrolled
         return cholesky_solve_unrolled(A, f)

@@ -19,6 +19,7 @@ REGISTRY = {
     "franka/06_cluttered_environment": franka.env_06_cluttered_environment,
     "franka/randomized_cluttered": franka.env_randomized_cluttered,
     "franka/pose_target": franka.env_pose_target,
+    "franka/moving_obstacles": franka.env_moving_obstacles,
 }
 
 

@@ -89,6 +89,9 @@ class Env:
     # contact dynamics (sim/contact.py): penalty forces at penetrating
     # closest points, applied through the torque-level physics path
     contact: bool = False
+    # scene dynamics: fn(sim) -> sim applied once per control tick (moving
+    # obstacles, conveyor goals, ...)
+    update_scene: Callable[[SimState], SimState] | None = None
 
     def gather_params(self) -> tuple:
         return tuple(p.params for p in self.policies)
@@ -142,6 +145,8 @@ def _advance(env: Env, state: EnvState, qdd):
     """Physics substeps + solved bookkeeping for one tick (per env)."""
     model = env.model
     sim = state.sim
+    if env.update_scene is not None:
+        sim = env.update_scene(sim)
     if env.max_qdd is not None:
         qdd = jnp.clip(jnp.nan_to_num(qdd, nan=0.0, posinf=0.0, neginf=0.0),
                        -env.max_qdd, env.max_qdd)

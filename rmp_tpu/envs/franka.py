@@ -340,7 +340,55 @@ def env_randomized_cluttered(n_obstacles: int = 7) -> Env:
 
     return Env(name="franka/randomized_cluttered", model=model,
                policies=policies, reset=reset, ee_frame=model.frame_index(EE),
-               bind_params=_goal_bind(), on_solved=on_solved, max_qdd=100.0)
+               bind_params=_goal_bind(), on_solved=on_solved, max_qdd=100.0,
+               resolve_method="solve")
+
+
+def env_moving_obstacles(amplitude: float = 0.15,
+                         omega: float = 1.0) -> Env:
+    """DYNAMIC obstacle avoidance: the cluttered scene's cylinders oscillate
+    sinusoidally while the v2 stack pursues the goal (BASELINE.json flagship
+    config: 'dynamic obstacle avoidance, cluttered env'). Obstacle motion is
+    a pure function of sim time via the Env.update_scene hook, so batched/
+    sharded rollouts stay one compiled program."""
+    model = MODEL()
+    policies = tuple(
+        _v2_policy_stack(model, goal=CLUTTERED_GOALS[0], attractor_p_gain=0.3,
+                         attractor_d_gain=0.6, with_cspace_bias=True)
+        + _obstacle_policies(model))
+    base_obstacles = cluttered_obstacles()
+    K_obs = base_obstacles.count
+    # per-obstacle motion directions/phases (fixed pattern)
+    dirs = np.stack([np.cos(np.linspace(0, 2 * np.pi, K_obs, endpoint=False)),
+                     np.sin(np.linspace(0, 2 * np.pi, K_obs, endpoint=False)),
+                     np.zeros(K_obs)], axis=-1).astype(np.float32)
+    phases = np.linspace(0, np.pi, K_obs).astype(np.float32)
+
+    def update_scene(sim):
+        shift = (amplitude * jnp.sin(omega * sim.t + phases)[:, None]
+                 * jnp.asarray(dirs))
+        obstacles = ObstacleSet(p0=base_obstacles.p0 + shift,
+                                p1=base_obstacles.p1 + shift,
+                                radius=base_obstacles.radius)
+        import dataclasses as dc
+        return dc.replace(sim, obstacles=obstacles)
+
+    def on_solved(state: EnvState) -> EnvState:
+        nxt = jnp.minimum(state.phase + 1, len(CLUTTERED_GOALS) - 1)
+        sim = dataclasses.replace(state.sim,
+                                  goal=jnp.asarray(CLUTTERED_GOALS)[nxt])
+        return dataclasses.replace(state, sim=sim, phase=nxt)
+
+    def reset(key):
+        sim = init_state(model, q=Q_READY, obstacles=base_obstacles,
+                         goal=CLUTTERED_GOALS[0])
+        return env_state(sim, key)
+
+    return Env(name="franka/moving_obstacles", model=model,
+               policies=policies, reset=reset, ee_frame=model.frame_index(EE),
+               bind_params=_goal_bind(), on_solved=on_solved,
+               update_scene=update_scene, max_qdd=100.0,
+               resolve_method="solve")
 
 
 def env_06_cluttered_environment() -> Env:

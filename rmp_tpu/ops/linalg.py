@@ -55,3 +55,49 @@ def cholesky_solve_unrolled(A: Array, b: Array, ridge: float = 1e-6) -> Array:
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
     return jnp.stack(x, axis=-1)
+
+
+def lu_solve_unrolled(A: Array, b: Array) -> Array:
+    """Solve A x = b by trace-time-unrolled Gaussian elimination WITH partial
+    pivoting. A: (..., n, n), b: (..., n); batched over leading axes.
+
+    Unlike the Cholesky path this is valid for INDEFINITE systems — which the
+    combined RMP metric can become near the JointVelocityCap's singular band
+    (the reference's metric w/(1 - ratio^2) is its own quirk there, rmp2.py:
+    104-109) — while staying ~an order of magnitude faster than lax.linalg's
+    serial batched LU at small n.
+    """
+    n = A.shape[-1]
+    # work on rows as lists of (..., n) slices; b appended as column n
+    rows = [jnp.concatenate([A[..., i, :], b[..., i:i + 1]], axis=-1)
+            for i in range(n)]
+
+    for k in range(n):
+        # partial pivot: select the row (>= k) with max |col k| via pairwise
+        # maxima (static unroll) — swap-free: build pivot row and fold the
+        # displaced row back
+        piv = rows[k]
+        piv_mag = jnp.abs(piv[..., k])
+        for i in range(k + 1, n):
+            mag_i = jnp.abs(rows[i][..., k])
+            take = (mag_i > piv_mag)[..., None]
+            # the row NOT chosen as pivot continues to live at position i
+            new_i = jnp.where(take, piv, rows[i])
+            piv = jnp.where(take, rows[i], piv)
+            piv_mag = jnp.maximum(piv_mag, mag_i)
+            rows[i] = new_i
+        rows[k] = piv
+        inv_pivot = 1.0 / jnp.where(jnp.abs(piv[..., k]) > 1e-12,
+                                    piv[..., k], 1e-12)
+        for i in range(k + 1, n):
+            factor = rows[i][..., k] * inv_pivot
+            rows[i] = rows[i] - factor[..., None] * piv
+
+    # back substitution
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = rows[i][..., n]
+        for j in range(i + 1, n):
+            s = s - rows[i][..., j] * x[j]
+        x[i] = s / rows[i][..., i]
+    return jnp.stack(x, axis=-1)

@@ -5,7 +5,7 @@ Computes, for a batch of environments, from the row-stacked task coordinates
 
     A_b = J_b^T W_b + ridge * I        (n x n;  W = M J rows)
     f_b = J_b^T v_b                    (v = M (a - c) rows)
-    q̈_b = A_b^{-1} f_b                 (unrolled Cholesky)
+    q̈_b = A_b^{-1} f_b                 (unrolled pivoted LU)
 
 in ONE kernel with a batch-on-lanes layout: envs live on the 128-wide lane
 axis, so every scalar of the factorization is a full VPU lane vector and the
@@ -41,41 +41,36 @@ def _kernel(J_ref, W_ref, v_ref, out_ref, *, n: int, ridge: float):
         for j in range(n):
             A[i][j] = jnp.sum(Ji * W_ref[j, :, :], axis=0)
 
-    # symmetrize + ridge (matches ops/linalg.cholesky_solve_unrolled)
+    # ridge (symmetrization is a no-op for the pullback Gram matrix)
     for i in range(n):
-        for j in range(i + 1, n):
-            s = 0.5 * (A[i][j] + A[j][i])
-            A[i][j] = s
-            A[j][i] = s
         A[i][i] = A[i][i] + ridge
 
-    # unrolled Cholesky factorization, lanes-parallel over envs
-    L = [[None] * n for _ in range(n)]
-    for j in range(n):
-        d = A[j][j]
-        for k in range(j):
-            d = d - L[j][k] * L[j][k]
-        Ljj = jnp.sqrt(jnp.maximum(d, 1e-12))
-        inv = 1.0 / Ljj
-        L[j][j] = Ljj
-        for i in range(j + 1, n):
-            s = A[i][j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            L[i][j] = s * inv
+    # unrolled PIVOTED Gaussian elimination, lanes-parallel over envs —
+    # valid for the indefinite combined metrics the policy stacks can
+    # produce (JointVelocityCap singular band); see ops/linalg.py
+    rows = [A[i] + [f[i]] for i in range(n)]       # each: n+1 lane vectors
+    for k in range(n):
+        piv = rows[k]
+        piv_mag = jnp.abs(piv[k])
+        for i in range(k + 1, n):
+            mag_i = jnp.abs(rows[i][k])
+            take = mag_i > piv_mag
+            new_i = [jnp.where(take, piv[c], rows[i][c]) for c in range(n + 1)]
+            piv = [jnp.where(take, rows[i][c], piv[c]) for c in range(n + 1)]
+            piv_mag = jnp.maximum(piv_mag, mag_i)
+            rows[i] = new_i
+        rows[k] = piv
+        inv_pivot = 1.0 / jnp.where(jnp.abs(piv[k]) > 1e-12, piv[k], 1e-12)
+        for i in range(k + 1, n):
+            factor = rows[i][k] * inv_pivot
+            rows[i] = [rows[i][c] - factor * piv[c] for c in range(n + 1)]
 
-    y = [None] * n
-    for i in range(n):
-        s = f[i]
-        for k in range(i):
-            s = s - L[i][k] * y[k]
-        y[i] = s / L[i][i]
     x = [None] * n
     for i in reversed(range(n)):
-        s = y[i]
-        for k in range(i + 1, n):
-            s = s - L[k][i] * x[k]
-        x[i] = s / L[i][i]
+        s = rows[i][n]
+        for j in range(i + 1, n):
+            s = s - rows[i][j] * x[j]
+        x[i] = s / rows[i][i]
 
     for i in range(n):
         out_ref[i, :] = x[i]

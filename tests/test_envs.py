@@ -154,7 +154,6 @@ def test_randomized_cluttered_batch():
     """Domain-randomized batched env: per-env obstacle sets/goals, one
     compiled program, no NaNs."""
     env = envs.make("franka/randomized_cluttered")
-    env.resolve_method = "cholesky"
     states = envs.make_batched_reset(env, 8)(jax.random.PRNGKey(2))
     # envs drew different obstacles and goals
     p0 = np.asarray(states.sim.obstacles.p0)
@@ -215,3 +214,29 @@ def test_pose_target_holds_orientation():
                                             env_pos.policies[2]))
     angle_free, _ = orientation_drift(env_pos)
     assert angle_free > 2 * angle_held, (angle_free, angle_held)
+
+
+def test_moving_obstacles_env():
+    """Dynamic obstacle avoidance: obstacles move per tick (pure function of
+    sim time), the controller keeps clearance, no NaNs."""
+    env = envs.make("franka/moving_obstacles")
+    state = env.reset(jax.random.PRNGKey(0))
+    p0_init = np.asarray(state.sim.obstacles.p0).copy()
+    step = jax.jit(make_control_step(env))
+    params = env.gather_params()
+    from rmp_tpu.models import kinematics as K
+    from rmp_tpu.sim.collision import robot_obstacle_distances
+    min_clear = np.inf
+    for _ in range(150):
+        state, aux = step(state, params)
+        T_all = K.fk_all(env.model, state.sim.q)
+        _, _, _, d = robot_obstacle_distances(env.model, T_all,
+                                              state.sim.obstacles)
+        min_clear = min(min_clear, float(jnp.min(d)))
+    assert np.isfinite(np.asarray(state.sim.q)).all()
+    # obstacles actually moved
+    moved = np.max(np.abs(np.asarray(state.sim.obstacles.p0) - p0_init))
+    assert moved > 0.05, f"obstacles did not move: {moved}"
+    # moving obstacles can sweep toward the arm; avoidance keeps worst-case
+    # penetration shallow
+    assert min_clear > -0.05, f"deep penetration: {min_clear}"

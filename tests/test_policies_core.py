@@ -217,3 +217,24 @@ def test_analytic_derivatives_match_jacfwd_full_stack():
     qdd_c = np.asarray(evaluate_policies(env.policies, q, qd, params, ctxs,
                                          "cholesky", derivatives="analytic"))
     np.testing.assert_allclose(qdd_c, qdd_a, atol=1e-3)
+
+
+def test_lu_solve_unrolled_indefinite():
+    """Pivoted unrolled LU matches pinv on indefinite invertible systems
+    (the velocity-cap singular band regime)."""
+    from rmp_tpu.ops.linalg import lu_solve_unrolled
+    r = np.random.default_rng(17)
+    for _ in range(10):
+        A = r.normal(size=(9, 9)).astype(np.float32)
+        A = A + A.T  # symmetric indefinite
+        b = r.normal(size=9).astype(np.float32)
+        got = np.asarray(lu_solve_unrolled(jnp.asarray(A), jnp.asarray(b)))
+        want = np.linalg.solve(A.astype(np.float64), b.astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-3)
+    # batched
+    A = r.normal(size=(32, 5, 5)).astype(np.float32)
+    b = r.normal(size=(32, 5)).astype(np.float32)
+    got = np.asarray(lu_solve_unrolled(jnp.asarray(A), jnp.asarray(b)))
+    want = np.linalg.solve(A.astype(np.float64),
+                           b.astype(np.float64)[..., None])[..., 0]
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
