@@ -35,10 +35,11 @@ def main():
     from rmp_tpu import envs
 
     env = envs.make("franka/06_cluttered_environment")
-    # unrolled-cholesky resolve: identical to pinv here (combined metric is
-    # symmetric PD by construction — damping/inertia terms), ~20x faster than
-    # XLA batched LU/SVD at n=9
-    env.resolve_method = "cholesky"
+    # trace-time-unrolled pivoted-LU resolve: identical to pinv for
+    # invertible systems, safe for the indefinite metrics the velocity-cap
+    # band can produce, ~20x faster than lax.linalg at n=9 (the fused Pallas
+    # path embeds the same solver)
+    env.resolve_method = "solve"
 
     params = env.gather_params()
     fused = os.environ.get("RMP_BENCH_FUSED", "1") == "1" and batch % 128 == 0
