@@ -68,6 +68,11 @@ def target_attractor(goal, taskmap, accel_p_gain, accel_d_gain,
 
 
 def _velocity_cap_accel_metric(params, x, xd, ctx):
+    # NOTE (replicated reference quirk, rmp2.py:104-109): the metric
+    # w / (1 - ratio^2) is singular at |xd| = max_velocity - region (ratio =
+    # -1) and goes strongly negative nearby, making the COMBINED metric
+    # indefinite. pinv and the unrolled pivoted-LU resolve handle this;
+    # the Cholesky resolve does not — see core.resolve.
     del ctx
     eps = 1e-6
     cutoff = params["max_velocity"] - params["velocity_damping_region"]
