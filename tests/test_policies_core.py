@@ -213,10 +213,13 @@ def test_analytic_derivatives_match_jacfwd_full_stack():
     qdd_j = np.asarray(evaluate_policies(env.policies, q, qd, params, ctxs,
                                          "pinv", derivatives="jacfwd"))
     np.testing.assert_allclose(qdd_a, qdd_j, atol=1e-3)
-    # and the unrolled cholesky resolve agrees with pinv on this system
+    # and the fast resolves agree with pinv on this system
     qdd_c = np.asarray(evaluate_policies(env.policies, q, qd, params, ctxs,
                                          "cholesky", derivatives="analytic"))
     np.testing.assert_allclose(qdd_c, qdd_a, atol=1e-3)
+    qdd_s = np.asarray(evaluate_policies(env.policies, q, qd, params, ctxs,
+                                         "solve", derivatives="analytic"))
+    np.testing.assert_allclose(qdd_s, qdd_a, atol=1e-3)
 
 
 def test_lu_solve_unrolled_indefinite():
