@@ -1,0 +1,26 @@
+# Developer entry points (see CLAUDE.md for environment notes)
+
+.PHONY: test test-fast bench gifs native eval clean
+
+test:            ## full suite (CPU, 8 virtual devices)
+	python -m pytest tests/ -q
+
+test-fast:       ## skip the reference-parity and integration heavyweights
+	python -m pytest tests/ -q --ignore=tests/test_reference_parity.py \
+	    --ignore=tests/test_envs.py
+
+bench:           ## flagship benchmark on the TPU (env: RMP_BENCH_*)
+	python bench.py
+
+eval:            ## domain-randomized success-rate sweep
+	python experiments/evaluate.py
+
+gifs:            ## demo GIFs (CPU)
+	python experiments/make_gifs.py franka/06_cluttered_environment --cpu
+
+native:          ## build the C++ renderer
+	$(MAKE) -C native
+
+clean:
+	rm -rf .jax_cache native/libtinyrender.so
+	find . -name __pycache__ -type d -exec rm -rf {} +
