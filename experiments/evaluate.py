@@ -40,8 +40,10 @@ def main():
     from rmp_tpu.models import kinematics as K
     from rmp_tpu.sim.collision import robot_obstacle_distances
 
+    # keep each env's own resolve_method (randomized_cluttered defaults to
+    # the indefinite-safe 'solve'; overriding with cholesky here once biased
+    # the sweep metrics near the velocity-cap singular band — ADVICE r1)
     env = envs.make(args.env)
-    env.resolve_method = "cholesky"
     fused = args.batch % 128 == 0 and not args.cpu
     states = envs.make_batched_reset(env, args.batch)(
         jax.random.PRNGKey(args.seed))

@@ -197,11 +197,18 @@ def make_control_step(env: Env):
 
 
 def make_batched_control_step(env: Env):
-    """Batched tick with the FUSED Pallas pullback+resolve: the per-env
+    """Batched tick with the FUSED batched pullback+resolve: the per-env
     derivative/policy computation is vmapped into row-stacked (J, W, v) and
-    the whole batch resolves in one kernel (ops/pallas_resolve). Batch must
-    be a multiple of 128 (lane width)."""
-    from rmp_tpu.core import policy_rows
+    the whole batch resolves at once, honoring env.resolve_method:
+
+      * 'solve'  -> one Pallas pullback+pivoted-LU kernel (ridge-free, so the
+                    fused and per-env 'solve' paths agree bit-for-algorithm);
+                    batch must be a multiple of 128 (lane width);
+      * other    -> batched XLA contraction A = J^T W, f = J^T v followed by
+                    core.resolve(A, f, method) (pinv/cholesky stay honored
+                    instead of being silently swapped for LU+ridge).
+    """
+    from rmp_tpu.core import policy_rows, resolve
     from rmp_tpu.ops.pallas_resolve import pullback_resolve
 
     policies = env.policies
@@ -216,7 +223,12 @@ def make_batched_control_step(env: Env):
         # batch-on-lanes layout (measured faster than producing batch-minor
         # rows via vmap out_axes=-1: strided producer writes lose ~7%)
         J, W, v = jax.vmap(rows, in_axes=(0, None))(states, params)
-        qdd = pullback_resolve(J, W, v)                   # (B, n)
+        if env.resolve_method == "solve":
+            qdd = pullback_resolve(J, W, v, ridge=0.0)    # (B, n)
+        else:
+            A = jnp.einsum("brn,brm->bnm", J, W)
+            f = jnp.einsum("brn,br->bn", J, v)
+            qdd = resolve(A, f, env.resolve_method)
         return jax.vmap(lambda s, a: _advance(env, s, a))(states, qdd)
     return step
 

@@ -14,6 +14,16 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def safe_denom(d: Array, eps: float = 1e-12) -> Array:
+    """Sign-preserving magnitude clamp: |result| >= eps, sign kept (0 -> +eps).
+
+    Guards divisions by (near-)singular pivots/diagonals so an exactly
+    singular combined metric yields a large-but-finite solution instead of
+    Inf/NaN propagating through the rest of a rollout. Downstream divergence
+    guards (Env.max_qdd) then bound the command magnitude."""
+    return jnp.where(d >= 0, jnp.maximum(d, eps), jnp.minimum(d, -eps))
+
+
 def cholesky_solve_unrolled(A: Array, b: Array, ridge: float = 1e-6) -> Array:
     """Solve (sym(A) + ridge*I) x = b for PSD A. A: (..., n, n), b: (..., n).
 
@@ -87,17 +97,17 @@ def lu_solve_unrolled(A: Array, b: Array) -> Array:
             piv_mag = jnp.maximum(piv_mag, mag_i)
             rows[i] = new_i
         rows[k] = piv
-        inv_pivot = 1.0 / jnp.where(jnp.abs(piv[..., k]) > 1e-12,
-                                    piv[..., k], 1e-12)
+        inv_pivot = 1.0 / safe_denom(piv[..., k])
         for i in range(k + 1, n):
             factor = rows[i][..., k] * inv_pivot
             rows[i] = rows[i] - factor[..., None] * piv
 
-    # back substitution
+    # back substitution (diagonal clamped the same way: a singular system —
+    # the velocity-cap band that motivates this path — must stay finite)
     x = [None] * n
     for i in reversed(range(n)):
         s = rows[i][..., n]
         for j in range(i + 1, n):
             s = s - rows[i][..., j] * x[j]
-        x[i] = s / rows[i][..., i]
+        x[i] = s / safe_denom(rows[i][..., i])
     return jnp.stack(x, axis=-1)

@@ -2,9 +2,9 @@
 
 Generates, per KinematicModel, ONE kernel computing the full twist-generator
 recursion of models/fk_derivatives.py — world transforms T, velocities Ṫ,
-curvatures T̈|q̈=0, and all Jacobian columns ∂T_k/∂q_j = G_j T_k — for 1024
-environments per grid step (vectors are (8, 128) VPU tiles; envs on
-sublanes x lanes).
+curvatures T̈|q̈=0, and all Jacobian columns ∂T_k/∂q_j = G_j T_k — for 512
+environments per grid step (vectors are (4, 128) VPU tiles; envs on
+sublanes x lanes; see the BLOCK/VMEM note below).
 
 Two things make this fast where the XLA path is bandwidth-bound:
   * zero intermediate HBM traffic: the ~200 4x4 chain products live entirely
@@ -70,7 +70,7 @@ def _mul(a, b):
 
 
 def _mm44(A, B):
-    """4x4 product of matrices whose entries are floats or (8,128) arrays."""
+    """4x4 product of matrices whose entries are floats or (SUBLANES,128) arrays."""
     return [[functools.reduce(_add, (_mul(A[i][k], B[k][j]) for k in range(4)))
              for j in range(4)] for i in range(4)]
 
@@ -140,7 +140,7 @@ def _make_kernel(model: KinematicModel):
     n = model.n_q
 
     def kernel(q_ref, qd_ref, T_out, Td_out, c_out, J_out):
-        q = [q_ref[j, 0] for j in range(n)]          # (8, 128) each
+        q = [q_ref[j, 0] for j in range(n)]          # (SUBLANES, 128) each
         qd = [qd_ref[j, 0] for j in range(n)]
 
         eye = _const44(np.eye(4))
@@ -218,7 +218,7 @@ _CACHE: dict[int, "callable"] = {}
 def fk_derivatives_batched(model: KinematicModel, q: Array, qd: Array):
     """Batched (T16, Td16, J16, c16) via the Pallas kernel.
 
-    q, qd: (B, n) with B a multiple of 1024. Returns
+    q, qd: (B, n) with B a multiple of BLOCK (512). Returns
     (B, F, 16), (B, F, 16), (B, F, 16, n), (B, F, 16) — same contract as
     vmapped models/fk_derivatives.fk_derivatives.
     """

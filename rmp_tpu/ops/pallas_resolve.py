@@ -30,6 +30,11 @@ Array = jax.Array
 LANES = 128
 
 
+def _safe_denom(d, eps: float = 1e-12):
+    """Sign-preserving magnitude clamp (see ops/linalg.safe_denom)."""
+    return jnp.where(d >= 0, jnp.maximum(d, eps), jnp.minimum(d, -eps))
+
+
 def _kernel(J_ref, W_ref, v_ref, out_ref, *, n: int, ridge: float):
     # refs: J, W (n, R, LANES); v (R, LANES); out (n, LANES)
     # Gram matrix + rhs: every A[i][j]/f[i] is a (LANES,) env-vector
@@ -60,17 +65,20 @@ def _kernel(J_ref, W_ref, v_ref, out_ref, *, n: int, ridge: float):
             piv_mag = jnp.maximum(piv_mag, mag_i)
             rows[i] = new_i
         rows[k] = piv
-        inv_pivot = 1.0 / jnp.where(jnp.abs(piv[k]) > 1e-12, piv[k], 1e-12)
+        inv_pivot = 1.0 / _safe_denom(piv[k])
         for i in range(k + 1, n):
             factor = rows[i][k] * inv_pivot
             rows[i] = [rows[i][c] - factor * piv[c] for c in range(n + 1)]
 
+    # back substitution; diagonal clamped sign-preservingly so an exactly
+    # singular combined metric yields finite (guarded) output, not Inf/NaN
+    # (matches ops/linalg.lu_solve_unrolled, the semantics oracle)
     x = [None] * n
     for i in reversed(range(n)):
         s = rows[i][n]
         for j in range(i + 1, n):
             s = s - rows[i][j] * x[j]
-        x[i] = s / rows[i][i]
+        x[i] = s / _safe_denom(rows[i][i])
 
     for i in range(n):
         out_ref[i, :] = x[i]

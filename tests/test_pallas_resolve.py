@@ -38,13 +38,15 @@ def test_pallas_pullback_resolve_interpret():
 
 
 def test_fused_rollout_matches_standard_interpret():
-    """Full fused-resolve batched rollout (Pallas) == standard path."""
+    """Full fused-resolve batched rollout (Pallas pivoted LU) == the
+    per-env 'solve' path (both ridge-free; envs/base.py honors
+    env.resolve_method in the fused step)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from rmp_tpu import envs
 
     env = envs.make("franka/06_cluttered_environment")
-    env.resolve_method = "cholesky"
+    env.resolve_method = "solve"
     states = envs.make_batched_reset(env, 128)(jax.random.PRNGKey(0))
     params = env.gather_params()
     f1, _ = jax.jit(envs.make_batched_rollout(env, 2))(states, params)
@@ -53,3 +55,49 @@ def test_fused_rollout_matches_standard_interpret():
             states, params)
     np.testing.assert_allclose(np.asarray(f1.sim.q), np.asarray(f2.sim.q),
                                atol=1e-3)
+
+
+def test_fused_rollout_honors_cholesky():
+    """fused_resolve=True with a non-'solve' method must route through
+    core.resolve (not the LU kernel): results match the per-env path."""
+    import jax
+
+    from rmp_tpu import envs
+
+    env = envs.make("franka/06_cluttered_environment")
+    env.resolve_method = "cholesky"
+    states = envs.make_batched_reset(env, 8)(jax.random.PRNGKey(1))
+    params = env.gather_params()
+    f1, _ = jax.jit(envs.make_batched_rollout(env, 2))(states, params)
+    f2, _ = jax.jit(envs.make_batched_rollout(env, 2, fused_resolve=True))(
+        states, params)
+    np.testing.assert_allclose(np.asarray(f1.sim.q), np.asarray(f2.sim.q),
+                               atol=1e-4)
+
+
+def test_singular_metric_stays_finite():
+    """An exactly singular combined metric (rank-deficient Gram) must give
+    finite output from both LU implementations — regression for the
+    back-substitution divide-by-unclamped-diagonal bug (ADVICE r1)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rmp_tpu.ops import pallas_resolve as pr
+    from rmp_tpu.ops.linalg import lu_solve_unrolled
+
+    n = 9
+    # rank-1 A: guaranteed singular; plus an exactly-zero A for good measure
+    u = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    A_sing = jnp.stack([jnp.outer(u, u), jnp.zeros((n, n), jnp.float32)])
+    b = jnp.asarray(rng.normal(size=(2, n)), jnp.float32)
+    x = np.asarray(lu_solve_unrolled(A_sing, b))
+    assert np.isfinite(x).all()
+
+    # same through the Pallas kernel: embed the singular system in a batch
+    B, R = 128, n
+    L = jnp.asarray(rng.normal(size=(B, R, n)), jnp.float32)
+    # env 0: J rows = outer-product factor so J^T J is rank-1
+    J = L.at[0].set(jnp.outer(jnp.ones(R), u) / np.sqrt(R))
+    v = jnp.asarray(rng.normal(size=(B, R)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pr.pullback_resolve(J, J, v, ridge=0.0))
+    assert np.isfinite(got).all()
