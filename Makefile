@@ -5,9 +5,8 @@
 test:            ## full suite (CPU, 8 virtual devices)
 	python -m pytest tests/ -q
 
-test-fast:       ## skip the reference-parity and integration heavyweights
-	python -m pytest tests/ -q --ignore=tests/test_reference_parity.py \
-	    --ignore=tests/test_envs.py
+test-fast:       ## fast tier: heavyweights carry @pytest.mark.slow (~90-110s warm)
+	python -m pytest tests/ -q -m "not slow"
 
 bench:           ## flagship benchmark on the TPU (env: RMP_BENCH_*)
 	python bench.py

@@ -21,12 +21,16 @@ import jax.numpy as jnp
 
 
 def main():
-    # persistent compilation cache: the 4096-env rollout takes minutes of
-    # Mosaic compile time on a single-core host; re-runs hit the cache
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    # Persistent compilation cache is OFF by default (RMP_BENCH_CACHE=1 to
+    # enable): with scanned substeps the whole program builds in ~20-30s
+    # (trace+lower ~18s, XLA ~4s), while persisting/loading the executable
+    # through this host measured SLOWER than recompiling (populate 137s,
+    # warm-load 72s vs 32s cold without persistence).
+    if os.environ.get("RMP_BENCH_CACHE", "0") == "1":
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     batch = int(os.environ.get("RMP_BENCH_BATCH", "4096"))
     ticks = int(os.environ.get("RMP_BENCH_TICKS", "150"))
@@ -40,6 +44,11 @@ def main():
     # band can produce, ~20x faster than lax.linalg at n=9 (the fused Pallas
     # path embeds the same solver)
     env.resolve_method = "solve"
+    # substeps via lax.scan(unroll=True) by default: identical runtime code
+    # to the Python-unrolled loop (5.13M steps/s both ways) but the body is
+    # traced once, cutting client trace+lower from ~100-250s to ~18s.
+    # RMP_BENCH_UNROLL=1 restores the Python-level unroll.
+    env.unroll_substeps = os.environ.get("RMP_BENCH_UNROLL", "0") == "1"
 
     params = env.gather_params()
     fused = os.environ.get("RMP_BENCH_FUSED", "1") == "1" and batch % 128 == 0

@@ -1,0 +1,194 @@
+"""Quantify the capsule-vs-mesh collision distance error (VERDICT r1 #3).
+
+The reference queries PyBullet's GJK against the actual Panda collision
+meshes (/root/reference/simulation.py:462-484); we approximate every link as
+capsule(s) (models/specs._PANDA_CAPS). This harness measures the resulting
+distance error two ways:
+
+1. CONFIG-INDEPENDENT per-link surface deviation: signed distance of densely
+   sampled collision-mesh surface points to the link's capsule set
+   (positive = mesh protrudes OUTSIDE the capsules => our obstacle distance
+   can overestimate by up to that amount; negative = capsule padding =>
+   conservative underestimate). These bounds hold for every configuration
+   and every obstacle.
+
+2. CONFIG-SAMPLED obstacle-distance error: random joint configurations x
+   random cylinder obstacles (the randomizer's sample space); per collision
+   link compare sim/collision.robot_obstacle_distances against a mesh-exact
+   distance (min over ~2.5k surface samples per link of point-to-capsule
+   obstacle distance).
+
+Writes reports/collision_mesh_error.json. Requires /root/reference (meshes).
+
+Usage: python experiments/collision_mesh_error.py [--configs 4096]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+
+REF_MESHES = "/root/reference/urdf/franka_panda/meshes/collision"
+
+# link name -> (obj file, yaw rotation about z applied to the mesh)
+MESH_OF_LINK = {
+    **{f"panda_link{i}": (f"link{i}.obj", 0.0) for i in range(1, 8)},
+    "panda_hand": ("hand.obj", 0.0),
+    "panda_leftfinger": ("finger.obj", 0.0),
+    # reference panda.urdf:303 rotates the right finger mesh by pi about z
+    "panda_rightfinger": ("finger.obj", np.pi),
+}
+
+
+def load_obj(path):
+    """(vertices (V,3), faces (F,3) int) from a triangulated OBJ."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                for k in range(1, len(idx) - 1):  # fan-triangulate polygons
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return np.asarray(verts, np.float64), np.asarray(faces, np.int64)
+
+
+def surface_samples(verts, faces):
+    """Vertices + per-face centroid and edge midpoints: dense surface cover."""
+    a, b, c = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    pts = [verts, (a + b + c) / 3, (a + b) / 2, (b + c) / 2, (a + c) / 2]
+    return np.concatenate(pts, axis=0)
+
+
+def point_segment_dist(p, s0, s1):
+    """|p - closest point on segment [s0, s1]| -> (..., N).
+
+    p: (..., N, 3); s0, s1: (..., 3) broadcast over the N point axis.
+    """
+    s0e = s0[..., None, :]                          # (..., 1, 3)
+    de = (s1 - s0)[..., None, :]                    # (..., 1, 3)
+    denom = np.maximum(np.sum(de * de, axis=-1, keepdims=True), 1e-12)
+    t = np.clip(np.sum((p - s0e) * de, axis=-1, keepdims=True) / denom,
+                0.0, 1.0)                           # (..., N, 1)
+    return np.linalg.norm(p - (s0e + t * de), axis=-1)
+
+
+def signed_dist_to_capsules(points, caps):
+    """min over capsules of (point-to-segment distance - radius)."""
+    best = None
+    for cap in caps:
+        p0 = np.asarray(cap.p0, np.float64)
+        p1 = np.asarray(cap.p1, np.float64)
+        d = point_segment_dist(points, p0, p1) - cap.radius
+        best = d if best is None else np.minimum(best, d)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=int, default=4096)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from rmp_tpu.models import kinematics as K
+    from rmp_tpu.models import robots
+    from rmp_tpu.sim import randomizer as rnd
+    from rmp_tpu.sim.collision import robot_obstacle_distances
+
+    model = robots.franka_panda()
+    rng = np.random.default_rng(args.seed)
+
+    # ---- load meshes + sample surfaces, per collision frame ---------------
+    link_pts = {}
+    report_links = {}
+    for i in model.collision_frames:
+        link = model.link_names[i]
+        fname, yaw = MESH_OF_LINK[link]
+        verts, faces = load_obj(os.path.join(REF_MESHES, fname))
+        if yaw:
+            cz, sz = np.cos(yaw), np.sin(yaw)
+            R = np.asarray([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+            verts = verts @ R.T
+        pts = surface_samples(verts, faces)
+        link_pts[i] = pts
+
+        dev = signed_dist_to_capsules(pts, model.collision[i])
+        report_links[link] = dict(
+            n_surface_samples=int(pts.shape[0]),
+            protrusion_max_m=round(float(dev.max()), 4),
+            protrusion_frac=round(float((dev > 0).mean()), 4),
+            padding_max_m=round(float(-dev.min()), 4),
+            mean_abs_dev_m=round(float(np.abs(dev).mean()), 4),
+        )
+
+    # ---- config-sampled obstacle-distance error ----------------------------
+    C = args.configs
+    qs = rng.uniform(np.asarray(model.q_lower), np.asarray(model.q_upper),
+                     size=(C, model.n_q)).astype(np.float32)
+    obs_keys = jax.random.split(jax.random.PRNGKey(args.seed), C)
+    obstacles = jax.vmap(lambda k: rnd.randomize_obstacles(k, 1))(obs_keys)
+
+    @jax.jit
+    @jax.vmap
+    def ours_fn(q, obs):
+        T_all = K.fk_all(model, q)
+        _, _, _, d = robot_obstacle_distances(model, T_all, obs)
+        return d[:, 0], T_all                         # (L,), (F,4,4)
+
+    d_ours, T_alls = ours_fn(jnp.asarray(qs), obstacles)
+    d_ours = np.asarray(d_ours, np.float64)           # (C, L)
+    T_alls = np.asarray(T_alls, np.float64)
+    obs_p0 = np.asarray(obstacles.p0, np.float64)[:, 0]   # (C, 3)
+    obs_p1 = np.asarray(obstacles.p1, np.float64)[:, 0]
+    obs_r = np.asarray(obstacles.radius, np.float64)[:, 0]  # (C,)
+
+    L = len(model.collision_frames)
+    d_mesh = np.empty((C, L))
+    chunk = 256
+    for li, fi in enumerate(model.collision_frames):
+        pts = link_pts[fi]                            # (N, 3)
+        for c0 in range(0, C, chunk):
+            sl = slice(c0, min(c0 + chunk, C))
+            T = T_alls[sl, fi]                        # (c, 4, 4)
+            world = np.einsum("cij,nj->cni", T[:, :3, :3], pts) \
+                + T[:, None, :3, 3]                   # (c, N, 3)
+            d = point_segment_dist(world, obs_p0[sl], obs_p1[sl]) \
+                - obs_r[sl][:, None]
+            d_mesh[sl, li] = d.min(axis=1)
+
+    err = d_ours - d_mesh          # >0: we report MORE clearance than real
+    report = dict(
+        configs=C,
+        per_link_surface_deviation=report_links,
+        obstacle_distance_error=dict(
+            overestimate_max_m=round(float(err.max()), 4),
+            overestimate_p99_m=round(float(np.quantile(err, 0.99)), 4),
+            underestimate_max_m=round(float(-err.min()), 4),
+            mean_abs_m=round(float(np.abs(err).mean()), 4),
+            per_link_overestimate_max_m={
+                model.link_names[fi]: round(float(err[:, li].max()), 4)
+                for li, fi in enumerate(model.collision_frames)},
+        ),
+    )
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                       "reports", "collision_mesh_error.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

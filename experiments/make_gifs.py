@@ -31,6 +31,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from rmp_tpu import envs
+    from rmp_tpu.envs.cameras import camera_for, eye_target
     from rmp_tpu.utils import native
     from rmp_tpu.utils.render import render_scene, save_gif
 
@@ -41,16 +42,18 @@ def main():
         state = env.reset(jax.random.PRNGKey(0))
         step = jax.jit(envs.make_control_step(env))
         params = env.gather_params()
+        cam_cfg = camera_for(name)   # per-scenario framing (envs/cameras.py)
         frames = []
         for tick in range(args.ticks):
             state, aux = step(state, params)
             if tick % args.every == 0:
-                yaw = 2 * np.pi * tick / args.ticks * 0.25
-                eye = (1.8 * np.cos(yaw + 0.8), 1.8 * np.sin(yaw + 0.8), 1.2)
+                # slow orbit around the configured framing (reference
+                # flagship camera orbit, 06_cluttered_environment.py:18-23)
+                yaw_off = 90.0 * tick / args.ticks
+                camera = eye_target(cam_cfg, yaw_offset_deg=yaw_off)
                 if native.available():
                     frames.append(native.render_scene_native(
-                        env.model, state.sim,
-                        camera=dict(eye=eye, target=(0, 0, 0.4), fov=50)))
+                        env.model, state.sim, camera=camera))
                 else:
                     frames.append(render_scene(env.model, state.sim))
         path = os.path.join(args.out, name.replace("/", "_") + ".gif")

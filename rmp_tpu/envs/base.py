@@ -159,7 +159,11 @@ def _advance(env: Env, state: EnvState, qdd):
             return physics_step(model, s, qdd, env.dt,
                                 torque_mode=env.torque_mode,
                                 contact=env.contact), None
-        sim, _ = jax.lax.scan(substep, sim, None, length=env.control_every)
+        # unroll=True: XLA sees straight-line substeps (same runtime code as
+        # the Python loop above) but the body is TRACED once — Python-side
+        # trace/lower of the flagship rollout drops ~100s -> ~18s
+        sim, _ = jax.lax.scan(substep, sim, None, length=env.control_every,
+                              unroll=True)
 
     state = dataclasses.replace(state, sim=sim, steps=state.steps + 1)
     solved = is_solved(env, sim) if sim.goal is not None else jnp.asarray(False)
@@ -254,8 +258,9 @@ def make_batched_reset(env: Env, batch: int):
 def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False):
     """Batched rollout: params shared across the batch, state batched.
 
-    fused_resolve=True routes the resolve through the batched Pallas kernel
-    (batch must be a multiple of 128)."""
+    fused_resolve=True resolves the whole batch at once per tick
+    (make_batched_control_step); with resolve_method='solve' that is the
+    Pallas LU kernel and batch must be a multiple of 128."""
     if fused_resolve:
         step = make_batched_control_step(env)
 

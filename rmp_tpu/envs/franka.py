@@ -413,6 +413,10 @@ def env_06_cluttered_environment() -> Env:
                          goal=CLUTTERED_GOALS[0])
         return env_state(sim, key)
 
+    # max_qdd: pure divergence guard — normal commands stay well under 100
+    # rad/s^2, so the clamp is identity on nominal trajectories (golden
+    # parity unaffected); it bounds the large-but-finite output the clamped
+    # LU resolve produces if the combined metric ever becomes singular
     return Env(name="franka/06_cluttered_environment", model=model,
                policies=policies, reset=reset, ee_frame=model.frame_index(EE),
-               bind_params=_goal_bind(), on_solved=on_solved)
+               bind_params=_goal_bind(), on_solved=on_solved, max_qdd=1000.0)

@@ -119,13 +119,33 @@ def fk_differentiate(model: KinematicModel, q: Array, qd: Array,
     return differentiate(fn, q, qd)
 
 
-_FK_JIT_CACHE: dict[int, "callable"] = {}
+_FK_JIT_CACHE: dict[tuple, "callable"] = {}
+
+
+def _model_fingerprint(model: KinematicModel) -> tuple:
+    """Structural key over everything fk_all reads. Cached on the instance
+    (id()-keyed caches can alias after GC and pin models alive via the jitted
+    closure; a content key makes equal models share one compilation and
+    bounds the cache by the number of DISTINCT models)."""
+    fp = getattr(model, "_rmp_fk_fingerprint", None)
+    if fp is None:
+        import hashlib
+
+        import numpy as np
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(model.T_constant, np.float64).tobytes())
+        h.update(np.ascontiguousarray(model.axis, np.float64).tobytes())
+        fp = (model.name, model.parent, model.joint_type, model.q_index,
+              h.hexdigest())
+        object.__setattr__(model, "_rmp_fk_fingerprint", fp)  # frozen dataclass
+    return fp
 
 
 def fk_all_jit(model: KinematicModel, q: Array) -> Array:
-    """Jitted fk_all; compiled once per model object (keyed by identity)."""
-    fn = _FK_JIT_CACHE.get(id(model))
+    """Jitted fk_all; compiled once per structurally-distinct model."""
+    key = _model_fingerprint(model)
+    fn = _FK_JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(lambda qq: fk_all(model, qq))
-        _FK_JIT_CACHE[id(model)] = fn
+        _FK_JIT_CACHE[key] = fn
     return fn(q)

@@ -23,7 +23,12 @@ from rmp_tpu.ops import geom
 
 Array = jax.Array
 
-GRAVITY = jnp.asarray([0.0, 0.0, -9.81], dtype=jnp.float32)
+# numpy, NOT jnp: a module-scope device array would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize (which must
+# run before any backend use) and post-import platform configuration
+import numpy as _np  # noqa: E402
+
+GRAVITY = _np.asarray([0.0, 0.0, -9.81], dtype=_np.float32)
 
 
 def _cross(a, b):
@@ -38,7 +43,7 @@ def inverse_dynamics(model: KinematicModel, q: Array, qd: Array, qdd: Array,
     velocities/forces but contribute no DOF. Gravity enters as a fictitious
     base acceleration (-g).
     """
-    g = GRAVITY if gravity is None else jnp.asarray(gravity, jnp.float32)
+    g = jnp.asarray(GRAVITY if gravity is None else gravity, jnp.float32)
     q = jnp.asarray(q, jnp.float32)
     qd = jnp.asarray(qd, jnp.float32)
     qdd = jnp.asarray(qdd, jnp.float32)

@@ -53,8 +53,10 @@ class RobotSampleSpace:
                                 qd_high=np.full_like(qr, 0.005))
 
 
-GOAL_CYL_LOW = jnp.asarray([0.4, 0.0, 0.0])
-GOAL_CYL_HIGH = jnp.asarray([0.9, 2 * np.pi, 1.0])
+# numpy, NOT jnp: module-scope device arrays initialize the XLA backend at
+# import time (breaks jax.distributed.initialize / post-import config)
+GOAL_CYL_LOW = np.asarray([0.4, 0.0, 0.0], dtype=np.float32)
+GOAL_CYL_HIGH = np.asarray([0.9, 2 * np.pi, 1.0], dtype=np.float32)
 
 
 def _cylindrical_to_cartesian(rpz: Array) -> Array:

@@ -18,4 +18,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compilation cache: the suite is compile-dominated on this
+# single-core host; warm re-runs (the `-m "not slow"` dev loop) skip XLA
+# recompiles entirely. Keyed by platform, so it coexists with bench's TPU
+# entries in the same directory.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), os.pardir,
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 assert jax.devices()[0].platform == "cpu"

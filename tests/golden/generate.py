@@ -97,6 +97,89 @@ def main():
     print("wrote two_joint01_trajectory.npz",
           np.stack(traj_q).shape, np.stack(traj_qdd).shape)
 
+    # --- franka 06 cluttered (the BENCHMARK workload), 50 ticks ------------
+    # Reference controller = full v2 stack + c-space bias + per-collision-
+    # frame ObstacleAvoidance with per-tick tf.Variable context updates
+    # (Datamanager style, data_management.py:22-37); sensing and integration
+    # come from our analytic engine on both sides so the fixture isolates
+    # CONTROLLER parity (same construction as
+    # tests/test_reference_parity.py::test_cluttered_closed_loop_trajectory_parity).
+    import dataclasses
+
+    import rmp2 as ref_rmp2
+
+    from rmp_tpu import envs as envs_mod
+    from rmp_tpu.sim.world import sense
+
+    env = envs_mod.make("franka/06_cluttered_environment")
+    env.on_solved = None
+    model6 = env.model
+    state0 = env.reset(jax.random.PRNGKey(0))
+    goal6 = np.asarray(state0.sim.goal, dtype=np.float32)
+
+    ref_chain6 = ref_taskmap.chain_taskmaps([
+        ref_taskmap.TaskmapByForwardKinematic(fkine, "panda_grasptarget_hand"),
+        ref_taskmap.TaskmapFrom4x4ToPosition()])
+    core6 = ref_rmp.RmpCore(rmps={})
+    core6.add_rmp(ref_rmp2.TargetAttractor(
+        goal=goal6, accel_p_gain=0.3, accel_d_gain=0.6, accel_norm_eps=0.075,
+        metric_alpha_length_scale=0.05, min_metric_alpha=0.03,
+        max_metric_scalar=1, min_metric_scalar=0.5,
+        proximity_metric_boost_scalar=1.0,
+        proximity_metric_boost_length_scale=0.02, taskmap=ref_chain6,
+        name="attractor"))
+    core6.add_rmp(ref_rmp2.JointVelocityCap(
+        max_velocity=0.5, velocity_damping_region=0.15, damping_gain=5.0,
+        metric_weight=0.05))
+    core6.add_rmp(ref_rmp2.JointDamping(accel_d_gain=1, metric_scalar=0.005,
+                                        inertia=0.3))
+    core6.add_rmp(ref_rmp2.CSpaceBiasing(
+        goal=tf.constant([0.0, -0.9, 0.0, -2.8, 0.0, 2.0,
+                          0.7853981633974483, 0.02, 0.02]),
+        metric_scalar=0.005, position_gain=1, damping_gain=2,
+        robust_position_term_thresh=0.5, inertia=0.0001))
+    n_obs = state0.sim.obstacles.count
+    frame_vars = {}
+    for i in model6.collision_frames:
+        frame = model6.frame_names[i]
+        v_link = tf.Variable(tf.zeros([n_obs, 3]), trainable=False)
+        v_obs = tf.Variable(tf.zeros([n_obs, 3]), trainable=False)
+        frame_vars[frame] = (v_link, v_obs)
+        tmap = ref_taskmap.chain_taskmaps([
+            ref_taskmap.TaskmapByForwardKinematic(fkine, frame),
+            ref_taskmap.TaskmapJointFrame4x4ToDistance(
+                pos_on_link_in_base_frame=v_link,
+                pos_on_obstacle_in_base_frame=v_obs)])
+        core6.add_rmp(ref_rmp2.ObstacleAvoidance(
+            margin=0.0, damping_gain=50, damping_std_dev=0.04,
+            damping_robustness_eps=0.01,
+            damping_velocity_gate_length_scale=0.01, repulsion_gain=800,
+            repulsion_std_dev=0.01, metric_modulation_radius=0.5,
+            metric_scalar=1, metric_exploder_std_dev=0.02,
+            metric_exploder_eps=0.001, taskmap=tmap,
+            name=f"collision_avoidance_for_{frame}"))
+
+    sim = state0.sim
+    traj_q, traj_qdd = [np.asarray(sim.q)], []
+    for _ in range(50):
+        q6, qd6, ctx = sense(model6, sim)
+        for i in model6.collision_frames:
+            frame = model6.frame_names[i]
+            v_link, v_obs = frame_vars[frame]
+            v_link.assign(np.asarray(ctx[frame]["pos_on_link"]))
+            v_obs.assign(np.asarray(ctx[frame]["pos_on_obstacle"]))
+        qdd6 = core6.evaluate(np.asarray(q6), np.asarray(qd6)).numpy()
+        traj_qdd.append(qdd6.astype(np.float32))
+        for _ in range(10):
+            qn, qdn = dynamics.semi_implicit_euler_step(
+                model6, sim.q, sim.qd, jnp.asarray(qdd6), 0.01)
+            sim = dataclasses.replace(sim, q=qn, qd=qdn)
+        traj_q.append(np.asarray(sim.q))
+    np.savez(os.path.join(OUT, "franka06_cluttered_trajectory.npz"),
+             goal=goal6, q=np.stack(traj_q), qdd=np.stack(traj_qdd))
+    print("wrote franka06_cluttered_trajectory.npz",
+          np.stack(traj_q).shape, np.stack(traj_qdd).shape)
+
 
 if __name__ == "__main__":
     main()

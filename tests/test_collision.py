@@ -6,6 +6,7 @@ import numpy as np
 from rmp_tpu.models import kinematics as K
 from rmp_tpu.models import robots
 from rmp_tpu.sim import collision as C
+import pytest
 
 rng = np.random.default_rng(5)
 
@@ -91,6 +92,7 @@ def test_robot_obstacle_distances_shapes_and_sanity():
     np.testing.assert_allclose(gap, np.abs(np.asarray(d)), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_distances_differentiable_through_fk():
     """d(q) must have nonzero, finite gradients (drives obstacle policies)."""
     model = robots.two_joint_robot()

@@ -12,6 +12,7 @@ from rmp_tpu.models import robots
 from rmp_tpu.sim import world
 from rmp_tpu.sim.collision import link_world_capsules, sphere_obstacle
 from rmp_tpu.sim.contact import ContactParams, contact_torques
+import pytest
 
 
 def _min_ground_clearance(model, q):
@@ -21,6 +22,7 @@ def _min_ground_clearance(model, q):
     return float(jnp.min(lows))
 
 
+@pytest.mark.slow
 def test_panda_falls_without_contact_rests_with_contact():
     """Zero torque command under gravity: without contact the arm collapses
     through the floor; with ground contact it comes to rest near/above it."""
@@ -77,6 +79,7 @@ def test_no_contact_no_torque():
     np.testing.assert_allclose(tau, np.zeros(2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_provoke_collision_env_is_blocked_by_contact():
     """franka/02: without obstacle RMPs the arm drives into the cylinder;
     contact forces must noticeably impede it vs the contact-free ghost."""
@@ -106,6 +109,7 @@ def test_provoke_collision_env_is_blocked_by_contact():
     assert np.isfinite(np.asarray(s_contact.sim.q)).all()
 
 
+@pytest.mark.slow
 def test_impulse_contacts_rest_on_ground():
     """Hard contacts: the collapsing arm comes to rest ON the floor (tiny
     penetration, tiny residual velocity) vs the penalty model's compliance."""
@@ -140,6 +144,7 @@ def test_impulse_contacts_rest_on_ground():
     assert worst > -0.01, f"hard contact penetrated: {worst}"
 
 
+@pytest.mark.slow
 def test_physics_step_impulse_model():
     """physics_step(contact_model='impulse') supports the collapsing arm."""
     from rmp_tpu.sim import world

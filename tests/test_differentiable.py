@@ -14,8 +14,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 from experiments.tune_gains import make_loss
 from rmp_tpu import envs
+import pytest
 
 
+@pytest.mark.slow
 def test_rollout_gradients_exist_and_descend():
     env = envs.make("franka/01_target_rmp_only")
     env.resolve_method = "cholesky"

@@ -15,6 +15,7 @@ from rmp_tpu.models import kinematics as K
 from rmp_tpu.models import robots
 from rmp_tpu.models.urdf import ROOT
 from rmp_tpu.sim import dynamics
+import pytest
 
 rng = np.random.default_rng(4)
 
@@ -56,6 +57,7 @@ def _energies(model):
     return kinetic, potential
 
 
+@pytest.mark.slow
 def test_mass_matrix_vs_lagrangian():
     for model in (robots.two_joint_robot(), robots.franka_panda()):
         kinetic, _ = _energies(model)
@@ -70,6 +72,7 @@ def test_mass_matrix_vs_lagrangian():
             assert np.all(np.linalg.eigvalsh(0.5 * (M_rnea + M_rnea.T)) > -1e-5)
 
 
+@pytest.mark.slow
 def test_bias_forces_vs_lagrangian():
     for model in (robots.two_joint_robot(), robots.franka_panda()):
         kinetic, potential = _energies(model)
@@ -143,6 +146,7 @@ def test_semi_implicit_euler_and_limits():
     np.testing.assert_allclose(float(q1[1]), 0.01, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dynamics_vmaps():
     model = robots.franka_panda()
     qs = jnp.asarray(rng.uniform(-1, 1, (8, model.n_q)), jnp.float32)
@@ -156,6 +160,7 @@ def test_dynamics_vmaps():
         np.asarray(dynamics.bias_forces(model, qs[2], qds[2])), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_crba_matches_id_trick():
     """CRBA mass matrix == ID-trick mass matrix (independent algorithms)."""
     for model in (robots.two_joint_robot(), robots.franka_panda()):

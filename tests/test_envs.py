@@ -29,6 +29,7 @@ def test_two_joint_01_reaches_goal():
     assert np.isfinite(aux["qdd"]).all()
 
 
+@pytest.mark.slow
 def test_two_joint_02_biasing_changes_elbow():
     left = envs.two_joint.env_02_jointspace_biasing(bias_left=True)
     right = envs.two_joint.env_02_jointspace_biasing(bias_left=False)
@@ -56,6 +57,7 @@ def test_two_joint_04_limits_hold():
     assert np.all(q <= env.model.q_upper + 1e-4)
 
 
+@pytest.mark.slow
 def test_two_joint_05_avoids_obstacle_and_reaches_goal():
     env = envs.make("two_joint/05_obstacle_avoidance")
     state = env.reset(jax.random.PRNGKey(0))
@@ -85,6 +87,7 @@ def test_franka_01_reaches_goal():
     assert np.isfinite(aux["qdd"]).all()
 
 
+@pytest.mark.slow
 def test_franka_04_nullspace_biasing_moves_elbow_not_ee():
     env = envs.make("franka/04_nullspace_control")
     state = env.reset(jax.random.PRNGKey(0))
@@ -98,6 +101,7 @@ def test_franka_04_nullspace_biasing_moves_elbow_not_ee():
     assert np.linalg.norm(np.asarray(final.sim.q) - q0) > 0.05
 
 
+@pytest.mark.slow
 def test_franka_05_avoids_obstacle():
     env = envs.make("franka/05_obstacle_avoidance")
     state = env.reset(jax.random.PRNGKey(0))
@@ -120,6 +124,7 @@ def test_franka_05_avoids_obstacle():
     assert min_clearance > -0.01, f"penetration: {min_clearance}"
 
 
+@pytest.mark.slow
 def test_franka_06_cluttered_reaches_multiple_goals():
     env = envs.make("franka/06_cluttered_environment")
     final, aux = _run(env, 800)
@@ -129,12 +134,14 @@ def test_franka_06_cluttered_reaches_multiple_goals():
     assert np.isfinite(aux["qdd"]).all()
 
 
+@pytest.mark.slow
 def test_franka_03_self_avoidance_runs():
     env = envs.make("franka/03_self_avoidance")
     final, aux = _run(env, 50)
     assert np.isfinite(aux["qdd"]).all()
 
 
+@pytest.mark.slow
 def test_batched_rollout_matches_single():
     env = envs.make("franka/01_target_rmp_only")
     params = env.gather_params()
@@ -150,6 +157,7 @@ def test_batched_rollout_matches_single():
                                np.asarray(single_final.sim.q), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_randomized_cluttered_batch():
     """Domain-randomized batched env: per-env obstacle sets/goals, one
     compiled program, no NaNs."""
@@ -166,6 +174,7 @@ def test_randomized_cluttered_batch():
     assert np.isfinite(np.asarray(aux["qdd"])).all()
 
 
+@pytest.mark.slow
 def test_torque_mode_rollout():
     """Torque-level physics path (ID -> clamp -> FD) tracks the exact path
     closely in free space (reference behavior: they cancel)."""
@@ -184,6 +193,7 @@ def test_torque_mode_rollout():
     np.testing.assert_allclose(qa, qb, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_pose_target_holds_orientation():
     """Position+orientation control: the 6D-rotation attractor keeps the EE
     orientation near its start while the position target is pursued; a
@@ -216,6 +226,7 @@ def test_pose_target_holds_orientation():
     assert angle_free > 2 * angle_held, (angle_free, angle_held)
 
 
+@pytest.mark.slow
 def test_moving_obstacles_env():
     """Dynamic obstacle avoidance: obstacles move per tick (pure function of
     sim time), the controller keeps clearance, no NaNs."""

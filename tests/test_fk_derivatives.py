@@ -7,6 +7,7 @@ import numpy as np
 from rmp_tpu.models import kinematics as K
 from rmp_tpu.models import robots
 from rmp_tpu.models.fk_derivatives import fk_derivatives
+import pytest
 
 rng = np.random.default_rng(8)
 
@@ -30,14 +31,17 @@ def _check_model(model, trials=3, atol=1e-4):
                                        err_msg=f"c frame {k}")
 
 
+@pytest.mark.slow
 def test_two_joint_analytic_derivatives():
     _check_model(robots.two_joint_robot())
 
 
+@pytest.mark.slow
 def test_panda_analytic_derivatives():
     _check_model(robots.franka_panda())
 
 
+@pytest.mark.slow
 def test_vmap_and_jit():
     model = robots.franka_panda()
     B = 16

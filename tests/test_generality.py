@@ -13,10 +13,12 @@ from rmp_tpu.models.specs import build_model, make_planar_arm_spec
 from rmp_tpu.policies import v1, v2
 from rmp_tpu.sim import dynamics
 from rmp_tpu.sim.world import init_state, physics_step
+import pytest
 
 rng = np.random.default_rng(21)
 
 
+@pytest.mark.slow
 def test_five_link_arm_full_stack():
     model = build_model(make_planar_arm_spec(5))
     assert model.n_q == 5 and model.n_frames == 6

@@ -13,6 +13,7 @@ from rmp_tpu.models import kinematics as K
 from rmp_tpu.models import robots
 from rmp_tpu.models.specs import TWO_JOINT_SPEC, PANDA_SPEC, build_model, write_urdf
 from rmp_tpu.models.urdf import parse_urdf
+import pytest
 
 rng = np.random.default_rng(1)
 
@@ -104,6 +105,7 @@ def test_differentiate_jacobian_vs_fd():
         np.testing.assert_allclose(np.asarray(xd), J_fd @ qd, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_curvature_vs_fd():
     """c = J̇ q̇ via finite differences along the flow q(t) = q + t q̇."""
     model = robots.two_joint_robot()
@@ -170,3 +172,22 @@ def test_chain_and_collision_frames():
     # 10 collision frames: joints 1-7, hand, both fingers (link8 and
     # grasptarget carry no collision geometry)
     assert len(model.collision_frames) == 10
+
+
+def test_fk_jit_cache_keyed_by_structure():
+    """Regression (VERDICT r1 weak #7): the fk_all_jit cache was keyed by
+    id(model) — aliasing after GC and growing per model INSTANCE. It must be
+    bounded by distinct model structures: rebuilding the same robot reuses
+    one compiled entry, and results stay identical."""
+    import jax.numpy as jnp
+
+    from rmp_tpu.models import kinematics as K
+
+    before = len(K._FK_JIT_CACHE)
+    outs = []
+    for _ in range(5):
+        m = robots.franka_panda()        # fresh instance each time
+        outs.append(np.asarray(K.fk_all_jit(m, jnp.zeros(m.n_q))))
+    assert len(K._FK_JIT_CACHE) <= before + 1
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0], o)

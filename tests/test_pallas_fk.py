@@ -6,10 +6,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rmp_tpu.models import robots
 from rmp_tpu.models.fk_derivatives import fk_derivatives
+import pytest
 
 rng = np.random.default_rng(12)
 
 
+@pytest.mark.slow
 def test_pallas_fk_matches_reference_interpret():
     from rmp_tpu.ops.pallas_fk import BLOCK, fk_derivatives_batched
 

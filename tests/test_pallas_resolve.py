@@ -20,6 +20,7 @@ def _reference(J, W, v, ridge=1e-6):
     return cholesky_solve_unrolled(A, f, ridge=ridge)
 
 
+@pytest.mark.slow
 def test_pallas_pullback_resolve_interpret():
     from jax.experimental.pallas import tpu as pltpu
 
@@ -37,6 +38,7 @@ def test_pallas_pullback_resolve_interpret():
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_rollout_matches_standard_interpret():
     """Full fused-resolve batched rollout (Pallas pivoted LU) == the
     per-env 'solve' path (both ridge-free; envs/base.py honors
@@ -57,6 +59,7 @@ def test_fused_rollout_matches_standard_interpret():
                                atol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_rollout_honors_cholesky():
     """fused_resolve=True with a non-'solve' method must route through
     core.resolve (not the LU kernel): results match the per-env path."""
@@ -75,6 +78,7 @@ def test_fused_rollout_honors_cholesky():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_singular_metric_stays_finite():
     """An exactly singular combined metric (rank-deficient Gram) must give
     finite output from both LU implementations — regression for the

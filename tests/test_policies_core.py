@@ -12,6 +12,7 @@ from rmp_tpu import core as rmp_core
 from rmp_tpu import taskmaps as tm
 from rmp_tpu.models import robots
 from rmp_tpu.policies import v1, v2
+import pytest
 
 rng = np.random.default_rng(3)
 
@@ -165,6 +166,7 @@ def test_joint_limit_avoidance_weights_activate_near_limits():
     assert np.asarray(a)[0, 0] < 0
 
 
+@pytest.mark.slow
 def test_core_jits_and_vmaps():
     model = robots.two_joint_robot()
     target = v1.target_policy(goal=jnp.asarray([1.4, -1.4, 0.125]),
@@ -194,6 +196,7 @@ def test_resolve_methods_agree_on_psd():
     np.testing.assert_allclose(qdd_p, qdd_c, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_analytic_derivatives_match_jacfwd_full_stack():
     """Full franka/06 policy stack: analytic vs jacfwd evaluation paths."""
     from rmp_tpu import envs
