@@ -11,6 +11,8 @@ REGISTRY = {
     "two_joint/04_driving_into_jointlimits":
         two_joint.env_04_driving_into_jointlimits,
     "two_joint/05_obstacle_avoidance": two_joint.env_05_obstacle_avoidance,
+    "two_joint/05_obstacle_avoidance_variant":
+        two_joint.env_05_obstacle_avoidance_variant,
     "franka/01_target_rmp_only": franka.env_01_target_rmp_only,
     "franka/02_provoke_collision": franka.env_02_provoke_collision,
     "franka/03_self_avoidance": franka.env_03_self_avoidance,

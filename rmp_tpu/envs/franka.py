@@ -141,8 +141,11 @@ def env_02_provoke_collision(contact: bool = True) -> Env:
     policies = (v1.target_policy(goal=[0.0, -0.5, 0.5],
                                  taskmap=_ee_pos_taskmap(model),
                                  alpha=0.1, beta=0.5, c=0.1, name="target"),)
+    # radius 0.05 (not the 05-scene's 0.025): with the mesh-fitted collision
+    # capsules the commanded path only grazes a thin cylinder — the failure
+    # probe needs the obstacle genuinely in the way
     obstacle = cylinder_obstacle([0.3, -0.3, 0.5], [0.2, 0.0, 0.0],
-                                 radius=0.025, height=0.3)
+                                 radius=0.05, height=0.3)
 
     def reset(key):
         sim = init_state(model, q=Q_READY, obstacles=obstacle,

@@ -178,3 +178,16 @@ def env_05_obstacle_avoidance() -> Env:
     return Env(name="two_joint/05_obstacle_avoidance", model=model,
                policies=policies, reset=reset, ee_frame=model.frame_index(EE),
                solved_xy_only=True, bind_params=_goal_bind(policies))
+
+
+def env_05_obstacle_avoidance_variant() -> Env:
+    """The reference's '05_obstacle_avoidance copy.py' gain variant: stiffer
+    target damping (beta 0.5), softer wide-radius collision damping
+    (eta_damp 0.1, nu_damp 0.6, r 3)."""
+    env = env_05_obstacle_avoidance()
+    target, grouped = env.policies
+    policies = (target.with_params(beta=0.5),
+                grouped.with_params(eta_damp=0.1, nu_damp=0.6, r=3.0))
+    return dataclasses.replace(
+        env, policies=policies,
+        name="two_joint/05_obstacle_avoidance_variant")

@@ -185,22 +185,24 @@ def robot_obstacle_distances(model: KinematicModel, T_all: Array,
     pos_l, pos_o, n, d = capsule_capsule_query(a0, a1, ra, b0, b1, rb)
     if P == L:                       # one primitive per frame: no reduction
         return pos_l, pos_o, n, d
+    # closest-primitive reduction as trace-time-unrolled pairwise selects.
+    # Measured alternatives on the flagship rollout (v5e, 4096 envs):
+    # argmin + take_along_axis gathers: ~6x SLOWER; padded uniform-axis
+    # min + one-hot einsum contraction: ~20% slower. The where-chain costs
+    # ~10% vs single-capsule links — the price of mesh-fitted geometry.
     out_pl, out_po, out_n, out_d = [], [], [], []
     for row in range(L):
         idx = [i for i, r in enumerate(rows) if r == row]
-        if len(idx) == 1:
-            i = idx[0]
-            out_pl.append(pos_l[i]); out_po.append(pos_o[i])
-            out_n.append(n[i]); out_d.append(d[i])
-        else:
-            sel = jnp.asarray(idx)
-            dd = d[sel]                               # (Pi, K)
-            best = jnp.argmin(dd, axis=0)             # (K,)
-            take = lambda x: jnp.take_along_axis(
-                x[sel], best[None, :, None] if x.ndim == 3 else best[None, :],
-                axis=0)[0]
-            out_pl.append(take(pos_l)); out_po.append(take(pos_o))
-            out_n.append(take(n)); out_d.append(take(d))
+        bpl, bpo, bn, bd = pos_l[idx[0]], pos_o[idx[0]], n[idx[0]], d[idx[0]]
+        for i in idx[1:]:
+            closer = d[i] < bd                        # (K,)
+            c3 = closer[:, None]
+            bpl = jnp.where(c3, pos_l[i], bpl)
+            bpo = jnp.where(c3, pos_o[i], bpo)
+            bn = jnp.where(c3, n[i], bn)
+            bd = jnp.where(closer, d[i], bd)
+        out_pl.append(bpl); out_po.append(bpo)
+        out_n.append(bn); out_d.append(bd)
     return (jnp.stack(out_pl), jnp.stack(out_po), jnp.stack(out_n),
             jnp.stack(out_d))
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from rmp_tpu.models.fk_derivatives import fk_derivatives
 from rmp_tpu.models.urdf import KinematicModel
-from rmp_tpu.sim.collision import ObstacleSet, link_world_capsules
+from rmp_tpu.sim.collision import ObstacleSet, link_world_capsules_all
 
 Array = jax.Array
 
@@ -57,37 +57,39 @@ def contact_torques(model: KinematicModel, q: Array, qd: Array,
     """Joint torques from all penetrating contacts (n_q,)."""
     T16, Td16, J16, _ = fk_derivatives(model, q, qd)
     T_all = T16.reshape(-1, 4, 4)
-    p0, p1, radius = link_world_capsules(model, T_all)       # (L, ...)
+    # ALL collision primitives (multi-capsule links): contact against the
+    # first primitive only left the rest of the link intangible
+    p0, p1, radius, prim_rows = link_world_capsules_all(model, T_all)
     frames = model.collision_frames
-    L = len(frames)
+    P = p0.shape[0]
     n = model.n_q
 
-    contacts = []  # (frame_row, point_on_link (3,), normal (3,), depth ())
+    contacts = []  # (primitive index, point_on_link (3,), normal (3,), depth)
     if obstacles is not None and obstacles.count > 0:
         from rmp_tpu.sim.collision import capsule_capsule_query
         K = obstacles.count
         a0 = p0[:, None, :].repeat(K, 1)
         a1 = p1[:, None, :].repeat(K, 1)
         ra = radius[:, None].repeat(K, 1)
-        b0 = jnp.broadcast_to(obstacles.p0[None], (L, K, 3))
-        b1 = jnp.broadcast_to(obstacles.p1[None], (L, K, 3))
-        rb = jnp.broadcast_to(obstacles.radius[None], (L, K))
+        b0 = jnp.broadcast_to(obstacles.p0[None], (P, K, 3))
+        b1 = jnp.broadcast_to(obstacles.p1[None], (P, K, 3))
+        rb = jnp.broadcast_to(obstacles.radius[None], (P, K))
         pos_l, _, normal, dist = capsule_capsule_query(a0, a1, ra, b0, b1, rb)
-        for li in range(L):
+        for pi in range(P):
             for ki in range(K):
-                contacts.append((li, pos_l[li, ki], normal[li, ki],
-                                 -dist[li, ki]))
+                contacts.append((pi, pos_l[pi, ki], normal[pi, ki],
+                                 -dist[pi, ki]))
     if params.ground:
         # capsule vs plane z=0: lowest endpoint minus radius
-        for li in range(L):
-            lower = jnp.where(p0[li, 2] < p1[li, 2], p0[li], p1[li])
-            depth = radius[li] - lower[2]
-            point = lower.at[2].add(-radius[li])
-            contacts.append((li, point, jnp.asarray([0.0, 0.0, 1.0]), depth))
+        for pi in range(P):
+            lower = jnp.where(p0[pi, 2] < p1[pi, 2], p0[pi], p1[pi])
+            depth = radius[pi] - lower[2]
+            point = lower.at[2].add(-radius[pi])
+            contacts.append((pi, point, jnp.asarray([0.0, 0.0, 1.0]), depth))
 
     tau = jnp.zeros(n, jnp.float32)
-    for li, point, normal, depth in contacts:
-        f = frames[li]
+    for pi, point, normal, depth in contacts:
+        f = frames[prim_rows[pi]]
         v, J = _point_kinematics(T16[f], Td16[f], J16[f], point)
         active = depth > 0.0
         v_n = jnp.dot(v, normal)
@@ -126,15 +128,15 @@ def _contact_rows(model: KinematicModel, q: Array, qd: Array,
     """
     T16, Td16, J16, _ = fk_derivatives(model, q, qd)
     T_all = T16.reshape(-1, 4, 4)
-    p0, p1, radius = link_world_capsules(model, T_all)
+    p0, p1, radius, prim_rows = link_world_capsules_all(model, T_all)
     frames = model.collision_frames
-    L = len(frames)
+    P = p0.shape[0]
 
     rows_J, rows_depth, rows_vn = [], [], []
     rows_Jt, rows_vt = [], []
 
-    def add(frame_row, point, normal, depth):
-        f = frames[frame_row]
+    def add(prim_idx, point, normal, depth):
+        f = frames[prim_rows[prim_idx]]
         v, J = _point_kinematics(T16[f], Td16[f], J16[f], point)
         rows_J.append(normal @ J)
         rows_depth.append(depth)
@@ -151,18 +153,18 @@ def _contact_rows(model: KinematicModel, q: Array, qd: Array,
         a0 = p0[:, None, :].repeat(K, 1)
         a1 = p1[:, None, :].repeat(K, 1)
         ra = radius[:, None].repeat(K, 1)
-        b0 = jnp.broadcast_to(obstacles.p0[None], (L, K, 3))
-        b1 = jnp.broadcast_to(obstacles.p1[None], (L, K, 3))
-        rb = jnp.broadcast_to(obstacles.radius[None], (L, K))
+        b0 = jnp.broadcast_to(obstacles.p0[None], (P, K, 3))
+        b1 = jnp.broadcast_to(obstacles.p1[None], (P, K, 3))
+        rb = jnp.broadcast_to(obstacles.radius[None], (P, K))
         pos_l, _, normal, dist = capsule_capsule_query(a0, a1, ra, b0, b1, rb)
-        for li in range(L):
+        for pi in range(P):
             for ki in range(K):
-                add(li, pos_l[li, ki], normal[li, ki], -dist[li, ki])
+                add(pi, pos_l[pi, ki], normal[pi, ki], -dist[pi, ki])
     if ground:
-        for li in range(L):
-            lower = jnp.where(p0[li, 2] < p1[li, 2], p0[li], p1[li])
-            add(li, lower.at[2].add(-radius[li]),
-                jnp.asarray([0.0, 0.0, 1.0]), radius[li] - lower[2])
+        for pi in range(P):
+            lower = jnp.where(p0[pi, 2] < p1[pi, 2], p0[pi], p1[pi])
+            add(pi, lower.at[2].add(-radius[pi]),
+                jnp.asarray([0.0, 0.0, 1.0]), radius[pi] - lower[2])
 
     return (jnp.stack(rows_J), jnp.stack(rows_depth), jnp.stack(rows_vn),
             jnp.stack(rows_Jt), jnp.stack(rows_vt))

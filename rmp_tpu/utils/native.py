@@ -67,10 +67,11 @@ def render_scene_native(model, state, goal=None, camera=None,
     """Native-rendered frame of a SimState (robot capsules + obstacles +
     goal). camera: dict(eye, target, fov) or None for the default orbit."""
     from rmp_tpu.models import kinematics as K
-    from rmp_tpu.sim.collision import link_world_capsules
+    from rmp_tpu.sim.collision import link_world_capsules_all
 
     T_all = np.asarray(K.fk_all(model, state.q))
-    p0, p1, radius = (np.asarray(v) for v in link_world_capsules(model, T_all))
+    p0, p1, radius, _ = link_world_capsules_all(model, T_all)
+    p0, p1, radius = (np.asarray(v) for v in (p0, p1, radius))
     rows = []
     for a, b, r in zip(p0, p1, radius):
         rows.append([*a, *b, r, 0.25, 0.45, 0.8])           # robot: blue

@@ -20,7 +20,7 @@ def render_scene(model, state, objects=(), goal=None, camera=None,
     import matplotlib.pyplot as plt
 
     from rmp_tpu.models import kinematics as K
-    from rmp_tpu.sim.collision import link_world_capsules
+    from rmp_tpu.sim.collision import link_world_capsules_all
 
     fig = plt.figure(figsize=figsize, dpi=dpi)
     ax = fig.add_subplot(projection="3d")
@@ -33,7 +33,7 @@ def render_scene(model, state, objects=(), goal=None, camera=None,
         b = origins[i + 1]
         ax.plot(*zip(a, b), color="tab:blue", lw=2)
     # collision capsules
-    p0, p1, radius = link_world_capsules(model, T_all)
+    p0, p1, radius, _ = link_world_capsules_all(model, T_all)
     for a, b in zip(np.asarray(p0), np.asarray(p1)):
         ax.plot(*zip(a, b), color="tab:cyan", lw=4, alpha=0.5)
     # obstacles

@@ -251,3 +251,26 @@ def test_moving_obstacles_env():
     # moving obstacles can sweep toward the arm; avoidance keeps worst-case
     # penetration shallow
     assert min_clear > -0.05, f"deep penetration: {min_clear}"
+
+
+@pytest.mark.slow
+def test_two_joint_05_variant_converges_near_goal():
+    """The '05 ... copy.py' gain variant (reference diff: target beta 0.5;
+    collision eta_damp 0.1 / nu_damp 0.6 / r 3). With r=3 the repulsion
+    field covers the whole workspace, so the equilibrium sits slightly OFF
+    the goal (the reference copy script runs fixed-duration with no solved
+    check) — assert convergence near the goal, not exact reach."""
+    from rmp_tpu.envs.base import ee_position
+
+    env = envs.make("two_joint/05_obstacle_avoidance_variant")
+    assert env.policies[0].params["beta"] == 0.5
+    assert env.policies[1].params["r"] == 3.0
+    state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(make_control_step(env))
+    params = env.gather_params()
+    for _ in range(1500):
+        state, aux = step(state, params)
+    dist = float(jnp.linalg.norm(
+        ee_position(env, state.sim)[:2] - state.sim.goal[:2]))
+    assert dist < 0.25, f"variant did not converge near the goal: {dist}"
+    assert float(jnp.linalg.norm(state.sim.qd)) < 0.5, "did not settle"
