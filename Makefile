@@ -1,6 +1,6 @@
 # Developer entry points (see CLAUDE.md for environment notes)
 
-.PHONY: test test-fast bench gifs native eval clean
+.PHONY: test test-fast bench gifs native eval viewer clean
 
 test:            ## full suite (CPU, 8 virtual devices)
 	python -m pytest tests/ -q
@@ -13,6 +13,9 @@ bench:           ## flagship benchmark on the TPU (env: RMP_BENCH_*)
 
 eval:            ## domain-randomized success-rate sweep
 	python experiments/evaluate.py
+
+viewer:          ## live interactive viewer (browser; --cpu for local)
+	python experiments/viewer.py franka/06_cluttered_environment --cpu
 
 gifs:            ## demo GIFs (CPU)
 	python experiments/make_gifs.py franka/06_cluttered_environment --cpu

@@ -43,6 +43,9 @@ def main():
             print(name)
         return
 
+    if args.env not in envs.REGISTRY:
+        known = "\n  ".join(sorted(envs.REGISTRY))
+        raise SystemExit(f"unknown env '{args.env}'; available:\n  {known}")
     env = envs.make(args.env)
     state = env.reset(jax.random.PRNGKey(args.seed))
     step = jax.jit(make_control_step(env))
