@@ -172,6 +172,12 @@ def _advance(env: Env, state: EnvState, qdd):
             state, solved_count=state.solved_count + 1))
         state = jax.tree.map(
             lambda a, b: jnp.where(solved, a, b), resampled, state)
+    else:
+        # no resampling: solved_count saturates at 1 (the goal was reached)
+        # instead of silently staying 0 forever
+        state = dataclasses.replace(
+            state, solved_count=jnp.maximum(
+                state.solved_count, solved.astype(jnp.int32)))
     aux = dict(solved=solved, qdd=qdd,
                ee=ee_position(env, sim) if sim.goal is not None else None)
     return state, aux

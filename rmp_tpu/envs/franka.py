@@ -162,7 +162,12 @@ def env_03_self_avoidance() -> Env:
     equivalent of the bitrotted 03_self_avoidance.py): per-frame v1
     CollisionAvoidance fed by link-link closest points."""
     model = MODEL()
-    pairs = self_collision_pairs(model, n_neighbors=3)
+    # drop pairs already closer than 12 cm at the ready pose (fingers,
+    # hand-vs-wrist): with mesh-fitted capsules their constant sub-r
+    # proximity exerted a permanent repulsion bias that destabilized
+    # target tracking (SRDF-style structural exclusion)
+    pairs = self_collision_pairs(model, n_neighbors=3, exclude_below=0.12,
+                                 q_ref=Q_READY)
     # group pairs by their first frame -> per-frame pair context
     frames = sorted({a for a, _ in pairs})
     policies = [
@@ -174,9 +179,13 @@ def env_03_self_avoidance() -> Env:
         frame = model.frame_names[f]
         taskmap = tm.chain(tm.fk_frame(model, frame), tm.relative_offsets(),
                            tm.to_position())
+        # r=0.15 (not the 2-DOF scene's 0.4): on a 0.8 m arm most link pairs
+        # sit permanently within 0.4 m of each other, so a wide radius turns
+        # self-avoidance into a constant bias that destabilizes tracking —
+        # repulsion should fire only on genuine approach
         pol = v1.collision_avoidance(
-            taskmap=taskmap, eta_rep=0.1 * np.e, nu_rep=0.3, eta_damp=1.0,
-            nu_damp=0.3, r=0.4, c=1e5, name=f"self_avoidance_for_{frame}")
+            taskmap=taskmap, eta_rep=0.1 * np.e, nu_rep=0.3, eta_damp=0.5,
+            nu_damp=0.3, r=0.15, c=1e5, name=f"self_avoidance_for_{frame}")
         pol.ctx_key = frame
         policies.append(pol)
     policies = tuple(policies)

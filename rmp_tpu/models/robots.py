@@ -46,3 +46,14 @@ def franka_panda() -> KinematicModel:
     """9-DOF Franka Panda (7 revolute + 2 prismatic fingers), EE frame
     'panda_grasptarget_hand'."""
     return build_model(PANDA_SPEC)
+
+
+UR5_Q_READY = np.array([0.0, -1.5708, 1.2, -1.2, -1.5708, 0.0],
+                       dtype=np.float32)
+UR5_EE_FRAME = "ee_fixed_joint"
+
+
+def ur5() -> KinematicModel:
+    """6-DOF UR5 (generic-pipeline demo robot; models/specs.UR5_SPEC)."""
+    from rmp_tpu.models.specs import UR5_SPEC, build_model
+    return build_model(UR5_SPEC)

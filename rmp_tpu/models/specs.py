@@ -348,3 +348,68 @@ def make_planar_arm_spec(n_links: int, link_length: float = 0.5,
                             xyz=(link_length, 0, 0)))
     return RobotSpec(name=f"planar_{n_links}link", links=tuple(links),
                      joints=tuple(joints))
+
+
+# ---------------------------------------------------------------------------
+# Universal Robots UR5 — demonstrates the generic spec/URDF pipeline on a
+# third robot (beyond the two reference robots). Kinematic frames follow the
+# standard public ur_description ur5.urdf chain; inertials are approximate
+# (diagonal, CoM at link centroids) — this robot is a framework-generality
+# demo, not a parity target.
+# ---------------------------------------------------------------------------
+
+_HPI = 1.570796325
+
+
+def _ur5_link(name, mass, com, caps):
+    return LinkSpec(name, mass, com, _DIAG01, caps)
+
+
+UR5_SPEC = RobotSpec(
+    name="UR5",
+    links=(
+        LinkSpec("base_link", 4.0, (0, 0, 0), _DIAG01,
+                 (CollisionPrimitive("capsule", (0, 0, 0.01), (0, 0, 0.06), 0.06),)),
+        _ur5_link("shoulder_link", 3.7, (0, 0, -0.02),
+                  (CollisionPrimitive("capsule", (0, 0, -0.04), (0, 0, 0.01), 0.06),)),
+        _ur5_link("upper_arm_link", 8.393, (0, -0.024, 0.2125),
+                  (CollisionPrimitive("capsule", (0, -0.045, 0.0), (0, -0.045, 0.425), 0.055),)),
+        _ur5_link("forearm_link", 2.275, (0, 0.0, 0.196),
+                  (CollisionPrimitive("capsule", (0, 0, 0.0), (0, 0, 0.39225), 0.045),)),
+        _ur5_link("wrist_1_link", 1.219, (0, 0.05, 0),
+                  (CollisionPrimitive("capsule", (0, 0.02, 0), (0, 0.08, 0), 0.04),)),
+        _ur5_link("wrist_2_link", 1.219, (0, 0, 0.05),
+                  (CollisionPrimitive("capsule", (0, 0, 0.02), (0, 0, 0.08), 0.04),)),
+        _ur5_link("wrist_3_link", 0.1879, (0, 0.03, 0),
+                  (CollisionPrimitive("capsule", (0, 0.01, 0), (0, 0.06, 0), 0.035),)),
+        LinkSpec("ee_link", 0.0, (0, 0, 0), (0.0,) * 6, ()),
+    ),
+    joints=(
+        JointSpec("shoulder_pan_joint", "revolute", "base_link",
+                  "shoulder_link", xyz=(0, 0, 0.089159), axis=(0, 0, 1),
+                  lower=-6.2832, upper=6.2832, velocity=3.15, effort=150,
+                  damping=0.1),
+        JointSpec("shoulder_lift_joint", "revolute", "shoulder_link",
+                  "upper_arm_link", xyz=(0, 0.13585, 0), rpy=(0, _HPI, 0),
+                  axis=(0, 1, 0), lower=-6.2832, upper=6.2832, velocity=3.15,
+                  effort=150, damping=0.1),
+        JointSpec("elbow_joint", "revolute", "upper_arm_link",
+                  "forearm_link", xyz=(0, -0.1197, 0.425), axis=(0, 1, 0),
+                  lower=-3.1416, upper=3.1416, velocity=3.15, effort=150,
+                  damping=0.1),
+        JointSpec("wrist_1_joint", "revolute", "forearm_link",
+                  "wrist_1_link", xyz=(0, 0, 0.39225), rpy=(0, _HPI, 0),
+                  axis=(0, 1, 0), lower=-6.2832, upper=6.2832, velocity=3.2,
+                  effort=28, damping=0.1),
+        JointSpec("wrist_2_joint", "revolute", "wrist_1_link",
+                  "wrist_2_link", xyz=(0, 0.093, 0), axis=(0, 0, 1),
+                  lower=-6.2832, upper=6.2832, velocity=3.2, effort=28,
+                  damping=0.1),
+        JointSpec("wrist_3_joint", "revolute", "wrist_2_link",
+                  "wrist_3_link", xyz=(0, 0, 0.09465), axis=(0, 1, 0),
+                  lower=-6.2832, upper=6.2832, velocity=3.2, effort=28,
+                  damping=0.1),
+        JointSpec("ee_fixed_joint", "fixed", "wrist_3_link", "ee_link",
+                  xyz=(0, 0.0823, 0), rpy=(0, 0, _HPI)),
+    ),
+)

@@ -207,10 +207,20 @@ def robot_obstacle_distances(model: KinematicModel, T_all: Array,
             jnp.stack(out_d))
 
 
-def self_collision_pairs(model: KinematicModel, n_neighbors: int = 3):
+def self_collision_pairs(model: KinematicModel, n_neighbors: int = 3,
+                         exclude_below: float | None = None,
+                         q_ref=None):
     """Static list of (frame_a, frame_b) collision-frame pairs at least
     n_neighbors apart in the kinematic tree — the reference builds (but
-    disables) the same todo-list via PyBullet (simulation.py:411-441)."""
+    disables) the same todo-list via PyBullet (simulation.py:411-441; its
+    check_link_neighborhood also walks ancestors only, so sibling links
+    like the two fingers are NOT tree-excluded).
+
+    exclude_below (+ q_ref): additionally drop pairs whose capsule distance
+    at the reference pose is already below the threshold — structurally
+    adjacent geometry (the fingers, hand-vs-wrist) that would otherwise
+    exert a constant repulsion bias on avoidance policies. Same idea as a
+    MoveIt SRDF 'disable adjacent/default-colliding pairs' pass."""
     frames = model.collision_frames
     pairs = []
     for a in frames:
@@ -223,20 +233,52 @@ def self_collision_pairs(model: KinematicModel, n_neighbors: int = 3):
             if (b, a) in pairs:
                 continue
             pairs.append((a, b))
+    if exclude_below is not None:
+        import numpy as np
+
+        from rmp_tpu.models import kinematics as K
+        q_ref = jnp.zeros(model.n_q) if q_ref is None else jnp.asarray(q_ref)
+        T_all = K.fk_all(model, q_ref)
+        _, _, _, d = robot_self_distances(model, T_all, tuple(pairs))
+        d = np.asarray(d)
+        pairs = [p for p, dd in zip(pairs, d) if dd >= exclude_below]
     return tuple(pairs)
 
 
 def robot_self_distances(model: KinematicModel, T_all: Array,
                          pairs: tuple[tuple[int, int], ...]):
-    """Closest-point queries between the capsules of static frame pairs.
+    """Closest-point queries between the capsule SETS of static frame pairs
+    (multi-primitive links: min over the primitive cross product per pair,
+    matching PyBullet's closest point per link pair).
 
     Returns the same tuple layout as robot_obstacle_distances with leading
     axis len(pairs).  (Self-avoidance capability — the reference's version
     is bitrotted/disabled, simulation.py:406-408.)"""
-    p0, p1, radius = link_world_capsules(model, T_all)
+    import numpy as np
+    p0, p1, radius, rows = link_world_capsules_all(model, T_all)
     frames = model.collision_frames
     pos = {f: i for i, f in enumerate(frames)}
-    ia = jnp.asarray([pos[a] for a, _ in pairs])
-    ib = jnp.asarray([pos[b] for _, b in pairs])
-    return capsule_capsule_query(p0[ia], p1[ia], radius[ia],
-                                 p0[ib], p1[ib], radius[ib])
+    groups: dict[int, list[int]] = {}
+    for i, r in enumerate(rows):
+        groups.setdefault(r, []).append(i)
+    combos = [[(i, j) for i in groups[pos[a]] for j in groups[pos[b]]]
+              for a, b in pairs]
+    C = max(len(cs) for cs in combos)
+    IA = np.zeros((len(pairs), C), np.int32)
+    IB = np.zeros((len(pairs), C), np.int32)
+    for k, cs in enumerate(combos):            # pad by repeating (harmless
+        for c in range(C):                     # under the min-reduction)
+            IA[k, c], IB[k, c] = cs[min(c, len(cs) - 1)]
+    # constant-index gathers (compile-time reshuffles — cheap, unlike the
+    # runtime take_along_axis gathers banned from hot graphs)
+    pl, po, n, d = capsule_capsule_query(p0[IA], p1[IA], radius[IA],
+                                         p0[IB], p1[IB], radius[IB])
+    bpl, bpo, bn, bd = pl[:, 0], po[:, 0], n[:, 0], d[:, 0]
+    for c in range(1, C):
+        closer = d[:, c] < bd
+        c3 = closer[:, None]
+        bpl = jnp.where(c3, pl[:, c], bpl)
+        bpo = jnp.where(c3, po[:, c], bpo)
+        bn = jnp.where(c3, n[:, c], bn)
+        bd = jnp.where(closer, d[:, c], bd)
+    return bpl, bpo, bn, bd

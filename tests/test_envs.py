@@ -136,9 +136,30 @@ def test_franka_06_cluttered_reaches_multiple_goals():
 
 @pytest.mark.slow
 def test_franka_03_self_avoidance_runs():
+    """Self-avoidance stack REACHES the goal (not just stays finite) while
+    keeping all monitored link pairs separated."""
+    from rmp_tpu.models import kinematics as K
+    from rmp_tpu.sim.collision import robot_self_distances, self_collision_pairs
+    from rmp_tpu.models import robots
+
     env = envs.make("franka/03_self_avoidance")
-    final, aux = _run(env, 50)
-    assert np.isfinite(aux["qdd"]).all()
+    pairs = self_collision_pairs(env.model, n_neighbors=3, exclude_below=0.12,
+                                 q_ref=robots.PANDA_Q_READY)
+    state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(make_control_step(env))
+    params = env.gather_params()
+    solved, min_d = False, np.inf
+    for _ in range(150):
+        state, aux = step(state, params)
+        assert np.isfinite(np.asarray(aux["qdd"])).all()
+        _, _, _, d = robot_self_distances(
+            env.model, K.fk_all(env.model, state.sim.q), pairs)
+        min_d = min(min_d, float(jnp.min(d)))
+        if bool(aux["solved"]):
+            solved = True
+            break
+    assert solved, "self-avoidance stack failed to reach the goal"
+    assert min_d > 0.0, f"monitored link pair contact: {min_d}"
 
 
 @pytest.mark.slow
