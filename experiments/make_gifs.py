@@ -37,8 +37,9 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     for name in args.envs:
+        # keep each env's own resolve_method (overriding with cholesky is
+        # invalid near the velocity-cap singular band, core.resolve docs)
         env = envs.make(name)
-        env.resolve_method = "cholesky"
         state = env.reset(jax.random.PRNGKey(0))
         step = jax.jit(envs.make_control_step(env))
         params = env.gather_params()

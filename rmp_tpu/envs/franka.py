@@ -356,8 +356,11 @@ def env_randomized_cluttered(n_obstacles: int = 7) -> Env:
                resolve_method="solve")
 
 
-def env_moving_obstacles(amplitude: float = 0.15,
+def env_moving_obstacles(amplitude: float = 0.1,
                          omega: float = 1.0) -> Env:
+    # amplitude 0.1 (was 0.15): cylinder 1's base sits 0.15 from goal 1, so
+    # a 0.15 sweep parks the obstacle ON the goal and the arm (correctly)
+    # never reaches it — at 0.1 the scene is hard but solvable
     """DYNAMIC obstacle avoidance: the cluttered scene's cylinders oscillate
     sinusoidally while the v2 stack pursues the goal (BASELINE.json flagship
     config: 'dynamic obstacle avoidance, cluttered env'). Obstacle motion is
