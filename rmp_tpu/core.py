@@ -162,15 +162,17 @@ def _taskmap_derivatives_analytic(policies, q, qd, ctxs):
     return tuple(x_all), tuple(xd_all), tuple(J_all), tuple(c_all)
 
 
-def policy_rows(policies: Sequence[Policy], q: Array, qd: Array,
-                params: Sequence[Any], ctxs: Sequence[Any],
-                derivatives: str = "analytic"):
-    """Row-stacked pullback inputs for one env: (J (R, n), W (R, n), v (R,))
-    with R = sum_i P_i * d_i (static), W = M J and v = M (a - c) rows.
+def policy_row_blocks(policies: Sequence[Policy], q: Array, qd: Array,
+                      params: Sequence[Any], ctxs: Sequence[Any],
+                      derivatives: str = "analytic"):
+    """Per-policy pullback row blocks for one env:
+    ([J_b (R_b, n)], [W_b (R_b, n)], [v_b (R_b,)]) with R_b = P_b * d_b
+    (static), W = M J and v = M (a - c) rows.
 
-    The combined system is A = J^T W, f = J^T v — consumed either by
-    `resolve` or by the fused batched Pallas kernel
-    (ops/pallas_resolve.pullback_resolve)."""
+    The combined system is A = Σ_b J_b^T W_b, f = Σ_b J_b^T v_b — consumed
+    by the multi-block Pallas kernel (pullback_resolve_blocks), which
+    accumulates across blocks in-kernel so the rows are never concatenated
+    (the concatenates measured 7.6% of the flagship tick's device time)."""
     q = jnp.asarray(q, jnp.float32)
     qd = jnp.asarray(qd, jnp.float32)
     if derivatives == "jacfwd":
@@ -187,6 +189,17 @@ def policy_rows(policies: Sequence[Policy], q: Array, qd: Array,
         Js.append(J.reshape(-1, n))
         Ws.append(geom.mm(M, J).reshape(-1, n))
         vs.append(geom.mv(M, a - c).reshape(-1))
+    return Js, Ws, vs
+
+
+def policy_rows(policies: Sequence[Policy], q: Array, qd: Array,
+                params: Sequence[Any], ctxs: Sequence[Any],
+                derivatives: str = "analytic"):
+    """Row-stacked pullback inputs for one env: (J (R, n), W (R, n), v (R,))
+    with R = sum_i P_i * d_i (static) — the concatenated form of
+    policy_row_blocks for consumers wanting one system (tests, the
+    single-input Pallas kernel)."""
+    Js, Ws, vs = policy_row_blocks(policies, q, qd, params, ctxs, derivatives)
     return (jnp.concatenate(Js), jnp.concatenate(Ws), jnp.concatenate(vs))
 
 

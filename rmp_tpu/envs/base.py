@@ -218,26 +218,28 @@ def make_batched_control_step(env: Env):
                     core.resolve(A, f, method) (pinv/cholesky stay honored
                     instead of being silently swapped for LU+ridge).
     """
-    from rmp_tpu.core import policy_rows, resolve
-    from rmp_tpu.ops.pallas_resolve import pullback_resolve
+    from rmp_tpu.core import policy_row_blocks, resolve
+    from rmp_tpu.ops.pallas_resolve import pullback_resolve_blocks
 
     policies = env.policies
 
     def rows(state: EnvState, params: tuple):
         q, qd, params_b, ctxs = _policy_inputs(env, state, params)
-        return policy_rows(policies, q, qd, params_b, ctxs,
-                           derivatives=env.derivatives)
+        return policy_row_blocks(policies, q, qd, params_b, ctxs,
+                                 derivatives=env.derivatives)
 
     def step(states: EnvState, params: tuple):
-        # batch-major rows + one fused transpose into the kernel's
-        # batch-on-lanes layout (measured faster than producing batch-minor
-        # rows via vmap out_axes=-1: strided producer writes lose ~7%)
-        J, W, v = jax.vmap(rows, in_axes=(0, None))(states, params)
+        # batch-major per-policy row blocks; the kernel accumulates across
+        # blocks so the rows are never concatenated (7.6% of device time),
+        # with one fused transpose per block into batch-on-lanes layout
+        # (batch-minor vmap out_axes producers measured 7% slower)
+        Jb, Wb, vb = jax.vmap(rows, in_axes=(0, None))(states, params)
         if env.resolve_method == "solve":
-            qdd = pullback_resolve(J, W, v, ridge=0.0)    # (B, n)
+            qdd = pullback_resolve_blocks(Jb, Wb, vb, ridge=0.0)  # (B, n)
         else:
-            A = jnp.einsum("brn,brm->bnm", J, W)
-            f = jnp.einsum("brn,br->bn", J, v)
+            A = sum(jnp.einsum("brn,brm->bnm", J, W)
+                    for J, W in zip(Jb, Wb))
+            f = sum(jnp.einsum("brn,br->bn", J, v) for J, v in zip(Jb, vb))
             qdd = resolve(A, f, env.resolve_method)
         return jax.vmap(lambda s, a: _advance(env, s, a))(states, qdd)
     return step
