@@ -29,10 +29,11 @@ def load_trace_events(trace_dir):
     return events
 
 
-def device_op_durations(events):
-    """{op_name: total_us} for complete events on device 'XLA Ops' threads
-    (the per-op track; summing all device tracks would double-count ops
-    inside their parent module events)."""
+def _op_track_events(events):
+    """Complete events on device 'XLA Ops' threads (the per-op track;
+    summing all device tracks would double-count ops inside their parent
+    module events). Loop parents ('while...') are dropped for the same
+    reason. Falls back to all device-pid events if no track metadata."""
     pid_names = {e["pid"]: e["args"].get("name", "")
                  for e in events
                  if e.get("ph") == "M" and e.get("name") == "process_name"
@@ -44,17 +45,34 @@ def device_op_durations(events):
                  if e.get("ph") == "M" and e.get("name") == "thread_name"
                  and e.get("pid") in device_pids
                  and "xla ops" in e["args"].get("name", "").lower()}
+    out = [e for e in events
+           if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tracks
+           and not e.get("name", "").startswith("while")]
+    if not out:         # fallback: no 'XLA Ops' metadata — use all device
+        out = [e for e in events
+               if e.get("ph") == "X" and e.get("pid") in device_pids]
+    return out
+
+
+def device_source_durations(events):
+    """{source_file:line: total_us} using the profiler's per-op `source`
+    metadata (jax lowering locations) — attribution straight to repo code.
+    Ops with no source (infrastructure copies/reshapes XLA introduced) are
+    bucketed under their hlo_category."""
     totals = collections.Counter()
     for e in events:
-        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tracks:
-            name = e.get("name", "?")
-            if name.startswith("while"):
-                continue   # loop parents double-count their body ops
-            totals[name] += e.get("dur", 0)
-    if not totals:      # fallback: no 'XLA Ops' metadata — use all device
-        for e in events:
-            if e.get("ph") == "X" and e.get("pid") in device_pids:
-                totals[e.get("name", "?")] += e.get("dur", 0)
+        a = e.get("args", {})
+        src = a.get("source") or f"<{a.get('hlo_category', 'unattributed')}>"
+        src = src.replace("/root/repo/experiments/../", "")
+        totals[src] += e.get("dur", 0)
+    return totals
+
+
+def device_op_durations(events):
+    """{op_name: total_us} on the per-op device track."""
+    totals = collections.Counter()
+    for e in events:
+        totals[e.get("name", "?")] += e.get("dur", 0)
     return totals
 
 
@@ -63,6 +81,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--ticks", type=int, default=20)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--by-source", action="store_true",
+                    help="aggregate by jax source location instead of op name")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -87,7 +107,9 @@ def main():
         with jax.profiler.trace(td):
             out = rollout(states, params)
             jax.block_until_ready(out[0].sim.q)
-        totals = device_op_durations(load_trace_events(td))
+        events = _op_track_events(load_trace_events(td))
+        totals = (device_source_durations(events) if args.by_source
+                  else device_op_durations(events))
 
     dev_total = sum(totals.values())
     n_steps = args.batch * args.ticks

@@ -263,23 +263,34 @@ def make_batched_reset(env: Env, batch: int):
     return reset
 
 
-def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False):
+def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False,
+                         with_aux: bool = True):
     """Batched rollout: params shared across the batch, state batched.
 
     fused_resolve=True resolves the whole batch at once per tick
     (make_batched_control_step); with resolve_method='solve' that is the
-    Pallas LU kernel and batch must be a multiple of 128."""
+    Pallas LU kernel and batch must be a multiple of 128.
+
+    with_aux=False returns (final_state, None) and skips the per-tick aux
+    stacking + the (T, B)->(B, T) layout transpose entirely — the transpose
+    alone was 6.2% of flagship device time (trace_report --by-source), pure
+    overhead for throughput consumers that only read the final state."""
     if fused_resolve:
         step = make_batched_control_step(env)
 
         def rollout(states: EnvState, params: tuple):
             def body(s, _):
                 s, aux = step(s, params)
-                return s, aux
+                return s, aux if with_aux else None
             final, aux = jax.lax.scan(body, states, None, length=n_ticks)
+            if not with_aux:
+                return final, None
             # match the vmapped path's aux layout: leading env axis (B, T, ...)
             aux = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), aux)
             return final, aux
         return rollout
     rollout = make_rollout(env, n_ticks)
-    return jax.vmap(rollout, in_axes=(0, None))
+    batched = jax.vmap(rollout, in_axes=(0, None))
+    if not with_aux:
+        return lambda states, params: (batched(states, params)[0], None)
+    return batched

@@ -295,3 +295,23 @@ def test_two_joint_05_variant_converges_near_goal():
         ee_position(env, state.sim)[:2] - state.sim.goal[:2]))
     assert dist < 0.25, f"variant did not converge near the goal: {dist}"
     assert float(jnp.linalg.norm(state.sim.qd)) < 0.5, "did not settle"
+
+
+def test_with_aux_false_matches_final_state():
+    """with_aux=False skips aux stacking + the (T,B)->(B,T) transpose (a
+    measured 6% of flagship device time) but must leave the final state
+    bit-identical, on both the vmapped and fused paths."""
+    env = envs.make("two_joint/01_target_rmp_only")
+    states = envs.make_batched_reset(env, 128)(jax.random.PRNGKey(0))
+    params = env.gather_params()
+    for fused in (False, True):
+        fa, aux = jax.jit(
+            envs.make_batched_rollout(env, 5, fused_resolve=fused))(
+                states, params)
+        fb, none_aux = jax.jit(
+            envs.make_batched_rollout(env, 5, fused_resolve=fused,
+                                      with_aux=False))(states, params)
+        assert none_aux is None
+        assert aux is not None
+        np.testing.assert_array_equal(np.asarray(fa.sim.q),
+                                      np.asarray(fb.sim.q))
