@@ -125,19 +125,32 @@ def _post_chain(post, T_blk, Td_blk, Jcols, c_blk, ctx):
     return x, xd, J, c
 
 
-def _taskmap_derivatives_analytic(policies, q, qd, ctxs):
-    """Fast path: closed-form FK derivatives (models/fk_derivatives.py, twist
-    generators) + exact identity-map shortcuts; only each policy's small post
-    map sees autodiff. Falls back to per-policy jacfwd for generic taskmaps."""
+def fk_bundle(policies, q, qd):
+    """{id(model): fk_derivatives(model, q, qd)} for every distinct FK model
+    under `policies` — the per-tick closed-form FK derivative sweep. Callers
+    that also need plain world transforms at the same q (distance contexts,
+    solved checks) should reuse bundle[mid][0].reshape(-1, 4, 4) instead of
+    a second fk_all: the duplicate FK measured ~8% of flagship device time."""
     from rmp_tpu.models.fk_derivatives import fk_derivatives
-    from rmp_tpu.models.kinematics import differentiate
 
     fk_models: dict[int, Any] = {}
     for p in policies:
         tmap = p.taskmap
         if getattr(tmap, "fk_rooted", False):
             fk_models.setdefault(id(tmap.model), tmap.model)
-    fk = {mid: fk_derivatives(m, q, qd) for mid, m in fk_models.items()}
+    return {mid: fk_derivatives(m, q, qd) for mid, m in fk_models.items()}
+
+
+def _taskmap_derivatives_analytic(policies, q, qd, ctxs, fk=None):
+    """Fast path: closed-form FK derivatives (models/fk_derivatives.py, twist
+    generators) + exact identity-map shortcuts; only each policy's small post
+    map sees autodiff. Falls back to per-policy jacfwd for generic taskmaps.
+
+    fk: optional precomputed fk_bundle(policies, q, qd)."""
+    from rmp_tpu.models.kinematics import differentiate
+
+    if fk is None:
+        fk = fk_bundle(policies, q, qd)
 
     n = q.shape[-1]
     eye = jnp.eye(n, dtype=q.dtype)[None]
@@ -164,7 +177,7 @@ def _taskmap_derivatives_analytic(policies, q, qd, ctxs):
 
 def policy_row_blocks(policies: Sequence[Policy], q: Array, qd: Array,
                       params: Sequence[Any], ctxs: Sequence[Any],
-                      derivatives: str = "analytic"):
+                      derivatives: str = "analytic", fk=None):
     """Per-policy pullback row blocks for one env:
     ([J_b (R_b, n)], [W_b (R_b, n)], [v_b (R_b,)]) with R_b = P_b * d_b
     (static), W = M J and v = M (a - c) rows.
@@ -180,7 +193,7 @@ def policy_row_blocks(policies: Sequence[Policy], q: Array, qd: Array,
             policies, q, qd, ctxs)
     else:
         x_all, xd_all, J_all, c_all = _taskmap_derivatives_analytic(
-            policies, q, qd, ctxs)
+            policies, q, qd, ctxs, fk=fk)
     n = q.shape[-1]
     Js, Ws, vs = [], [], []
     for p, prm, ctx, x, xd, J, c in zip(policies, params, ctxs, x_all, xd_all,
@@ -206,7 +219,7 @@ def policy_rows(policies: Sequence[Policy], q: Array, qd: Array,
 def evaluate_policies(policies: Sequence[Policy], q: Array, qd: Array,
                       params: Sequence[Any], ctxs: Sequence[Any],
                       method: str = "pinv",
-                      derivatives: str = "analytic") -> Array:
+                      derivatives: str = "analytic", fk=None) -> Array:
     """Pure-functional combined RMP evaluation: q̈_desired (n_q,).
 
     params/ctxs are per-policy pytrees aligned with `policies` (structure is
@@ -222,7 +235,7 @@ def evaluate_policies(policies: Sequence[Policy], q: Array, qd: Array,
             policies, q, qd, ctxs)
     else:
         x_all, xd_all, J_all, c_all = _taskmap_derivatives_analytic(
-            policies, q, qd, ctxs)
+            policies, q, qd, ctxs, fk=fk)
 
     n = q.shape[-1]
     f_comb = jnp.zeros((n,), jnp.float32)

@@ -81,7 +81,9 @@ class Env:
     on_solved: Callable[[EnvState], EnvState] | None = None
     bind_params: Callable[[tuple, SimState], tuple] | None = None
     check_velocity: float | None = None   # also require |q̇| < this
-    context_fn: Callable[[KinematicModel, SimState], dict] | None = None
+    # context_fn(model, sim, T_all) -> per-frame ctx dict; T_all is the tick's
+    # precomputed world transforms (F, 4, 4) or None (recompute via fk_all)
+    context_fn: Callable[..., dict] | None = None
     unroll_substeps: bool = True
     # divergence guard: clamp |q̈| and zero non-finite commands (needed for
     # domain-randomized scenes where obstacles can spawn in deep penetration)
@@ -95,6 +97,20 @@ class Env:
 
     def gather_params(self) -> tuple:
         return tuple(p.params for p in self.policies)
+
+
+def take_row(table, idx: Array) -> Array:
+    """table[idx] for a small static table via a where-chain.
+
+    A single-row dynamic gather from a tiny table measured 3.7% of flagship
+    device time at 4096 envs (poorly tiled gather); K-1 selects fuse into
+    one VPU kernel. Same where-chain-beats-gather result as the
+    closest-primitive reduction (sim/collision.py)."""
+    table = jnp.asarray(table)
+    out = jnp.broadcast_to(table[0], table.shape[1:])
+    for k in range(1, table.shape[0]):
+        out = jnp.where(idx == k, table[k], out)
+    return out
 
 
 def bind_goal(policy_names: tuple[str, ...]):
@@ -126,19 +142,32 @@ def is_solved(env: Env, sim: SimState) -> Array:
 
 
 def _policy_inputs(env: Env, state: EnvState, params: tuple):
-    """(q, q̇, bound params, per-policy ctxs) for one tick."""
+    """(q, q̇, bound params, per-policy ctxs, fk bundle) for one tick.
+
+    With analytic derivatives the closed-form FK sweep (core.fk_bundle) is
+    computed HERE and its world transforms feed the distance context, so the
+    tick runs exactly one FK — the second fk_all inside sense() measured ~8%
+    of flagship device time before being deduplicated."""
     sim = state.sim
     policies = env.policies
     if env.bind_params is not None:
         params = env.bind_params(params, sim, policies)
+    fk = None
+    T_all = None
+    if env.derivatives == "analytic":
+        from rmp_tpu.core import fk_bundle
+        fk = fk_bundle(policies, sim.q, sim.qd)
+        blk = fk.get(id(env.model))
+        if blk is not None:
+            T_all = blk[0].reshape(-1, 4, 4)
     if env.context_fn is not None:
         q, qd = sim.q, sim.qd
-        frame_ctx = env.context_fn(env.model, sim)
+        frame_ctx = env.context_fn(env.model, sim, T_all)
     else:
-        q, qd, frame_ctx = sense(env.model, sim)
+        q, qd, frame_ctx = sense(env.model, sim, T_all)
     ctxs = tuple(frame_ctx.get(p.ctx_key) if getattr(p, "ctx_key", None)
                  else None for p in policies)
-    return q, qd, params, ctxs
+    return q, qd, params, ctxs, fk
 
 
 def _advance(env: Env, state: EnvState, qdd):
@@ -170,8 +199,12 @@ def _advance(env: Env, state: EnvState, qdd):
     if env.on_solved is not None:
         resampled = env.on_solved(dataclasses.replace(
             state, solved_count=state.solved_count + 1))
+        # identity shortcut: leaves on_solved didn't touch (obstacle sets,
+        # unchanged sim fields) skip the per-tick select entirely — the
+        # blanket where over the full EnvState measured ~2% device time
         state = jax.tree.map(
-            lambda a, b: jnp.where(solved, a, b), resampled, state)
+            lambda a, b: b if a is b else jnp.where(solved, a, b),
+            resampled, state)
     else:
         # no resampling: solved_count saturates at 1 (the goal was reached)
         # instead of silently staying 0 forever
@@ -185,23 +218,13 @@ def _advance(env: Env, state: EnvState, qdd):
 
 def make_control_step(env: Env):
     """Pure fn(env_state, params) -> (env_state, aux) for ONE control tick."""
-    model = env.model
     policies = env.policies
 
     def step(state: EnvState, params: tuple):
-        sim = state.sim
-        if env.bind_params is not None:
-            params = env.bind_params(params, sim, policies)
-        if env.context_fn is not None:
-            q, qd = sim.q, sim.qd
-            frame_ctx = env.context_fn(model, sim)
-        else:
-            q, qd, frame_ctx = sense(model, sim)
-        ctxs = tuple(frame_ctx.get(p.ctx_key) if getattr(p, "ctx_key", None)
-                     else None for p in policies)
-        qdd = evaluate_policies(policies, q, qd, params, ctxs,
+        q, qd, params_b, ctxs, fk = _policy_inputs(env, state, params)
+        qdd = evaluate_policies(policies, q, qd, params_b, ctxs,
                                 method=env.resolve_method,
-                                derivatives=env.derivatives)
+                                derivatives=env.derivatives, fk=fk)
         return _advance(env, state, qdd)
     return step
 
@@ -224,9 +247,9 @@ def make_batched_control_step(env: Env):
     policies = env.policies
 
     def rows(state: EnvState, params: tuple):
-        q, qd, params_b, ctxs = _policy_inputs(env, state, params)
+        q, qd, params_b, ctxs, fk = _policy_inputs(env, state, params)
         return policy_row_blocks(policies, q, qd, params_b, ctxs,
-                                 derivatives=env.derivatives)
+                                 derivatives=env.derivatives, fk=fk)
 
     def step(states: EnvState, params: tuple):
         # batch-major per-policy row blocks; the kernel accumulates across
@@ -250,10 +273,8 @@ def make_rollout(env: Env, n_ticks: int):
     step = make_control_step(env)
 
     def rollout(state: EnvState, params: tuple):
-        def body(s, _):
-            s, aux = step(s, params)
-            return s, aux
-        return jax.lax.scan(body, state, None, length=n_ticks)
+        return _scan_with_invariant_carry(
+            lambda s: step(s, params), state, n_ticks, True)
     return rollout
 
 
@@ -261,6 +282,38 @@ def make_batched_reset(env: Env, batch: int):
     def reset(key: Array):
         return jax.vmap(env.reset)(jax.random.split(key, batch))
     return reset
+
+
+def _scan_with_invariant_carry(step_fn, state, n_ticks, with_aux):
+    """lax.scan over ticks with loop-INVARIANT state leaves hoisted out of
+    the carry. Leaves the step passes through untouched (static obstacle
+    sets, fixed scene data — jax forwards the identical tracer, detected
+    here at trace time via `is`) become scan closure constants instead of
+    loop-carried values; the per-tick carry copies of a constant 4096-env
+    obstacle set measured ~4% of flagship device time. Envs that DO mutate
+    a leaf (moving obstacles, resampled scenes) return fresh tracers for
+    it, so it stays in the carry automatically."""
+    flat, treedef = jax.tree.flatten(state)
+    # probe trace: outputs are unused except for Python-level identity
+    # checks, so jaxpr DCE drops the probe's ops from the compiled program
+    probe_out, _ = step_fn(jax.tree.unflatten(treedef, flat))
+    out_flat = jax.tree.leaves(probe_out)
+    var_idx = [k for k, (i, o) in enumerate(zip(flat, out_flat)) if o is not i]
+
+    def body(var_leaves, _):
+        leaves = list(flat)
+        for k, leaf in zip(var_idx, var_leaves):
+            leaves[k] = leaf
+        s, aux = step_fn(jax.tree.unflatten(treedef, leaves))
+        out = jax.tree.leaves(s)
+        return [out[k] for k in var_idx], aux if with_aux else None
+
+    final_var, aux = jax.lax.scan(body, [flat[k] for k in var_idx], None,
+                                  length=n_ticks)
+    leaves = list(flat)
+    for k, leaf in zip(var_idx, final_var):
+        leaves[k] = leaf
+    return jax.tree.unflatten(treedef, leaves), aux
 
 
 def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False,
@@ -279,10 +332,8 @@ def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False,
         step = make_batched_control_step(env)
 
         def rollout(states: EnvState, params: tuple):
-            def body(s, _):
-                s, aux = step(s, params)
-                return s, aux if with_aux else None
-            final, aux = jax.lax.scan(body, states, None, length=n_ticks)
+            final, aux = _scan_with_invariant_carry(
+                lambda s: step(s, params), states, n_ticks, with_aux)
             if not with_aux:
                 return final, None
             # match the vmapped path's aux layout: leading env axis (B, T, ...)

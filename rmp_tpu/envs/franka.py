@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from rmp_tpu import taskmaps as tm
-from rmp_tpu.envs.base import Env, EnvState, bind_goal, env_state
+from rmp_tpu.envs.base import (Env, EnvState, bind_goal, env_state,
+                               take_row)
 from rmp_tpu.models import robots
 from rmp_tpu.models.ik import inverse_kinematics
 from rmp_tpu.policies import v1, v2
@@ -193,8 +194,9 @@ def env_03_self_avoidance() -> Env:
     from rmp_tpu.models import kinematics as K
     from rmp_tpu.ops import geom
 
-    def context_fn(model_, sim):
-        T_all = K.fk_all(model_, sim.q)
+    def context_fn(model_, sim, T_all=None):
+        if T_all is None:
+            T_all = K.fk_all(model_, sim.q)
         pos_a, pos_b, normal, dist = robot_self_distances(model_, T_all, pairs)
         ctx = {}
         for f in frames:
@@ -391,7 +393,7 @@ def env_moving_obstacles(amplitude: float = 0.1,
     def on_solved(state: EnvState) -> EnvState:
         nxt = jnp.minimum(state.phase + 1, len(CLUTTERED_GOALS) - 1)
         sim = dataclasses.replace(state.sim,
-                                  goal=jnp.asarray(CLUTTERED_GOALS)[nxt])
+                                  goal=take_row(CLUTTERED_GOALS, nxt))
         return dataclasses.replace(state, sim=sim, phase=nxt)
 
     def reset(key):
@@ -420,7 +422,7 @@ def env_06_cluttered_environment() -> Env:
 
     def on_solved(state: EnvState) -> EnvState:
         nxt = jnp.minimum(state.phase + 1, len(CLUTTERED_GOALS) - 1)
-        sim = dataclasses.replace(state.sim, goal=goals[nxt])
+        sim = dataclasses.replace(state.sim, goal=take_row(goals, nxt))
         return dataclasses.replace(state, sim=sim, phase=nxt)
 
     def reset(key):
