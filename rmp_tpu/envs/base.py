@@ -94,6 +94,11 @@ class Env:
     # scene dynamics: fn(sim) -> sim applied once per control tick (moving
     # obstacles, conveyor goals, ...)
     update_scene: Callable[[SimState], SimState] | None = None
+    # link collision geometry for the distance context: 'capsule' (fitted
+    # multi-capsule, default) or 'hull' (exact mesh-convex-hull GJK --
+    # PyBullet-equivalent distances at ~4x the collision-query cost;
+    # requires a hull asset for the robot, models/hulls.py)
+    collision_geometry: str = "capsule"
 
     def gather_params(self) -> tuple:
         return tuple(p.params for p in self.policies)
@@ -164,7 +169,8 @@ def _policy_inputs(env: Env, state: EnvState, params: tuple):
         q, qd = sim.q, sim.qd
         frame_ctx = env.context_fn(env.model, sim, T_all)
     else:
-        q, qd, frame_ctx = sense(env.model, sim, T_all)
+        q, qd, frame_ctx = sense(env.model, sim, T_all,
+                                 env.collision_geometry)
     ctxs = tuple(frame_ctx.get(p.ctx_key) if getattr(p, "ctx_key", None)
                  else None for p in policies)
     return q, qd, params, ctxs, fk

@@ -1,0 +1,56 @@
+"""Convex-hull collision geometry tables (the exact GJK collision mode).
+
+assets/panda_hulls.npz holds, per Panda collision link, a decimated convex
+hull of the reference collision mesh in collision-frame local coordinates
+(fit + certified by experiments/fit_hulls.py; support error <~1 mm at 96
+vertices). PyBullet itself convexifies non-VHACD mesh collision shapes, so
+these hulls reproduce what the reference's GJK queries actually see
+(reference simulation.py:462-484) — unlike the capsule fits, which are a
+~1 cm-band approximation (models/specs._PANDA_CAPS).
+
+`hulls_for(model)` returns a (L, V, 3) numpy vertex table aligned with
+model.collision_frames, padded per link by repeating the first vertex
+(harmless under the support max). Returns None when no hull asset exists
+for the robot (hull collision mode is then unavailable).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from rmp_tpu.models.urdf import KinematicModel
+
+_ASSET_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          os.pardir, os.pardir, "assets")
+_HULL_FILES = {"panda": "panda_hulls.npz"}
+_CACHE: dict[tuple, np.ndarray | None] = {}
+
+
+def hulls_for(model: KinematicModel) -> np.ndarray | None:
+    """(L, V, 3) float32 local hull vertices per collision frame, or None."""
+    key = (model.name, tuple(model.collision_frames))
+    if key in _CACHE:
+        return _CACHE[key]
+    fname = _HULL_FILES.get(model.name)
+    table = None
+    if fname is not None:
+        path = os.path.join(_ASSET_DIR, fname)
+        if os.path.exists(path):
+            with np.load(path) as data:
+                per_link = []
+                ok = True
+                for i in model.collision_frames:
+                    link = model.link_names[i]
+                    if link not in data:
+                        ok = False
+                        break
+                    per_link.append(np.asarray(data[link], np.float32))
+                if ok:
+                    V = max(v.shape[0] for v in per_link)
+                    table = np.stack([
+                        np.concatenate(
+                            [v, np.repeat(v[:1], V - v.shape[0], axis=0)])
+                        for v in per_link])
+    _CACHE[key] = table
+    return table

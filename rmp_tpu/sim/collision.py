@@ -1,13 +1,19 @@
-"""Analytic closest-point / distance queries, TPU-native.
+"""Closest-point / distance queries, TPU-native.
 
 Replaces PyBullet's C++ GJK mesh queries (reference simulation.py:462-484,
-p.getClosestPoints): every shape is a capsule (sphere = zero-length capsule;
-cylinders are capsule-approximated — parity with mesh distances is therefore
-tolerance-banded, SURVEY.md §7 'hard parts').  The query returns the same
-tuple PyBullet does: (point on link surface, point on obstacle surface,
-normal on obstacle pointing toward the link, signed distance).
+p.getClosestPoints) with two interchangeable link geometries:
 
-All functions are branchless (clamped closed forms), differentiable, and
+  * CAPSULE (default): every shape is a capsule (sphere = zero-length
+    capsule; cylinders capsule-approximated), queried by branchless clamped
+    closed forms — ~1 cm distance-error band vs the meshes, fastest.
+  * HULL (robot_obstacle_distances_hull): links are decimated convex hulls
+    of the actual reference meshes, solved by batched simplex GJK
+    (ops/gjk.py) — sub-mm agreement with PyBullet's (convexified-mesh)
+    distances at ~4x the query cost; reports/collision_mesh_error_hull.json.
+
+Every query returns the same tuple PyBullet does: (point on link surface,
+point on obstacle surface, normal on obstacle pointing toward the link,
+signed distance). All functions are branchless, differentiable, and
 broadcast over leading batch axes.
 """
 from __future__ import annotations
@@ -205,6 +211,65 @@ def robot_obstacle_distances(model: KinematicModel, T_all: Array,
         out_n.append(bn); out_d.append(bd)
     return (jnp.stack(out_pl), jnp.stack(out_po), jnp.stack(out_n),
             jnp.stack(out_d))
+
+
+def robot_obstacle_distances_hull(model: KinematicModel, T_all: Array,
+                                  obstacles: ObstacleSet,
+                                  hull_verts: Array | None = None,
+                                  iters: int = 16):
+    """Exact convex-hull closest-point queries (the GJK collision mode).
+
+    Same contract as robot_obstacle_distances — (pos_on_link,
+    pos_on_obstacle, normal, distance), shapes (L, K, ...) — but each link
+    is its MESH CONVEX HULL (models/hulls.py; what PyBullet's GJK actually
+    queries for these robots, reference simulation.py:462-484) instead of
+    the fitted capsule set. Solved by branchless support-point descent
+    (ops/gjk.py) batched over every (link, obstacle) pair.
+
+    Hybrid near contact: where the hull query reports <=0.5 mm clearance
+    (touching or penetrating — the regime where the descent's normal
+    degenerates) the capsule result is used instead, which also supplies
+    PyBullet-style penetration depths.
+    """
+    from rmp_tpu.ops import gjk
+
+    if hull_verts is None:
+        from rmp_tpu.models.hulls import hulls_for
+        hull_verts = hulls_for(model)
+        if hull_verts is None:
+            raise ValueError(
+                f"no hull asset for robot {model.name!r}; run "
+                "experiments/fit_hulls.py or use capsule collision")
+    cap_pl, cap_po, cap_n, cap_d = robot_obstacle_distances(
+        model, T_all, obstacles)
+
+    frames = jnp.asarray(model.collision_frames)
+    T = T_all[frames]                                     # (L, 4, 4)
+    local = jnp.asarray(hull_verts)                       # (L, V, 3)
+    world = (jnp.einsum("lij,lvj->lvi", T[:, :3, :3], local,
+                        precision=geom.HIGHEST)
+             + T[:, None, :3, 3])                         # (L, V, 3)
+
+    L, K = world.shape[0], obstacles.count
+    verts = world[:, None]                                # (L, 1, V, 3)
+    b0 = jnp.broadcast_to(obstacles.p0[None], (L, K, 3))
+    b1 = jnp.broadcast_to(obstacles.p1[None], (L, K, 3))
+    rb = jnp.broadcast_to(obstacles.radius[None], (L, K))
+
+    sup_link = lambda d: gjk.support_hull(verts, d)
+    sup_obs = lambda d: gjk.support_capsule(b0, b1, rb, d)
+    centroid = jnp.mean(world, axis=-2)                   # (L, 3)
+    d0 = (obstacles.p0 + obstacles.p1)[None] / 2 - centroid[:, None]
+    pl, po, n, dist, _gap = gjk.closest_points(sup_link, sup_obs, d0,
+                                               iters=iters)
+
+    # fallback ONLY on hull contact (capsule-only penetration readings are
+    # capsule bulge false-positives the exact hulls are here to remove)
+    near = dist <= 5e-4
+    n3 = near[..., None]
+    return (jnp.where(n3, cap_pl, pl), jnp.where(n3, cap_po, po),
+            jnp.where(n3, cap_n, n),
+            jnp.where(near, jnp.minimum(cap_d, dist), dist))
 
 
 def self_collision_pairs(model: KinematicModel, n_neighbors: int = 3,

@@ -32,12 +32,21 @@ PAIRS_KEY = "__pairs__"
 
 
 def distance_context(model: KinematicModel, T_all: Array,
-                     obstacles: ObstacleSet) -> dict[str, dict[str, Array]]:
+                     obstacles: ObstacleSet,
+                     geometry: str = "capsule") -> dict[str, dict[str, Array]]:
     """dict frame_name -> ctx for every collision frame (static keys), plus a
     stacked entry under PAIRS_KEY with the raw (L, K, ...) arrays for grouped
-    multi-frame policies (one policy over all collision links)."""
-    pos_on_link, pos_on_obstacle, normal, distance = \
-        robot_obstacle_distances(model, T_all, obstacles)      # (L, K, ...)
+    multi-frame policies (one policy over all collision links).
+
+    geometry: 'capsule' (fitted multi-capsule links, default) or 'hull'
+    (exact mesh-convex-hull GJK, sim/collision.robot_obstacle_distances_hull)."""
+    if geometry == "hull":
+        from rmp_tpu.sim.collision import robot_obstacle_distances_hull
+        pos_on_link, pos_on_obstacle, normal, distance = \
+            robot_obstacle_distances_hull(model, T_all, obstacles)
+    else:
+        pos_on_link, pos_on_obstacle, normal, distance = \
+            robot_obstacle_distances(model, T_all, obstacles)  # (L, K, ...)
     frames = jnp.asarray(model.collision_frames)
     T = T_all[frames]                                          # (L, 4, 4)
     R_joint_base = jnp.swapaxes(T[:, :3, :3], -1, -2)

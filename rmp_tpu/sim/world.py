@@ -108,17 +108,19 @@ def physics_step(model: KinematicModel, state: SimState, qdd_desired: Array,
     return dataclasses.replace(state, q=q, qd=qd, t=state.t + dt)
 
 
-def sense(model: KinematicModel, state: SimState, T_all: Array | None = None):
+def sense(model: KinematicModel, state: SimState, T_all: Array | None = None,
+          geometry: str = "capsule"):
     """(q, q̇, distance context) — reference Simulation.state().
 
     T_all: optional precomputed world transforms (F, 4, 4) at state.q; pass
     them when the caller already ran FK this tick (core.fk_bundle) so the
-    distance context doesn't pay a second fk_all."""
+    distance context doesn't pay a second fk_all.
+    geometry: 'capsule' or 'hull' (exact mesh-hull GJK; sim/collision.py)."""
     ctx = {}
     if state.obstacles is not None and state.obstacles.count > 0:
         if T_all is None:
             T_all = K.fk_all(model, state.q)
-        ctx = distance_context(model, T_all, state.obstacles)
+        ctx = distance_context(model, T_all, state.obstacles, geometry)
     return state.q, state.qd, ctx
 
 
