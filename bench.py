@@ -47,6 +47,9 @@ def main():
     from rmp_tpu import envs
 
     env = envs.make("franka/06_cluttered_environment")
+    # RMP_BENCH_GEOMETRY=hull benches the exact mesh-convex-hull GJK
+    # collision mode (sub-mm distance parity; ~4x the collision-query cost)
+    env.collision_geometry = os.environ.get("RMP_BENCH_GEOMETRY", "capsule")
     # trace-time-unrolled pivoted-LU resolve: identical to pinv for
     # invertible systems, safe for the indefinite metrics the velocity-cap
     # band can produce, ~20x faster than lax.linalg at n=9 (the fused Pallas

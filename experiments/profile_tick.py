@@ -2,6 +2,14 @@
 
 Decomposes the franka/06 control step: sense, RMP evaluation (split into
 taskmap-differentiation / policy-eval+pullback / resolve), physics substeps.
+
+CAVEAT — these are UPPER BOUNDS, not a partition: each stage is timed as a
+STANDALONE jit, so it materializes outputs that the fused rollout never
+writes to HBM, and shared producers (FK, sense) are re-run in several rows.
+Stages therefore don't add up to the full tick. For honest per-op/per-line
+attribution inside the real fused rollout use
+    python experiments/trace_report.py [--by-source]
+which aggregates device time from a jax.profiler trace.
 """
 import os
 import sys
@@ -27,6 +35,10 @@ params = env.gather_params()
 
 states = envs.make_batched_reset(env, B)(jax.random.PRNGKey(0))
 sims = states.sim
+
+
+print("standalone-jit stage timings (UPPER BOUNDS — see module docstring; "
+      "use trace_report.py for in-rollout attribution)\n")
 
 
 def bench(name, fn, *args):

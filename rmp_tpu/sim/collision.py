@@ -216,7 +216,7 @@ def robot_obstacle_distances(model: KinematicModel, T_all: Array,
 def robot_obstacle_distances_hull(model: KinematicModel, T_all: Array,
                                   obstacles: ObstacleSet,
                                   hull_verts: Array | None = None,
-                                  iters: int = 16):
+                                  iters: int = 12):
     """Exact convex-hull closest-point queries (the GJK collision mode).
 
     Same contract as robot_obstacle_distances — (pos_on_link,
@@ -245,20 +245,30 @@ def robot_obstacle_distances_hull(model: KinematicModel, T_all: Array,
 
     frames = jnp.asarray(model.collision_frames)
     T = T_all[frames]                                     # (L, 4, 4)
-    local = jnp.asarray(hull_verts)                       # (L, V, 3)
-    world = (jnp.einsum("lij,lvj->lvi", T[:, :3, :3], local,
-                        precision=geom.HIGHEST)
-             + T[:, None, :3, 3])                         # (L, V, 3)
+    local = jnp.asarray(hull_verts)                       # (L, V, 3) STATIC
+    R = T[:, :3, :3]
+    t = T[:, :3, 3]
 
-    L, K = world.shape[0], obstacles.count
-    verts = world[:, None]                                # (L, 1, V, 3)
+    L, K = local.shape[0], obstacles.count
     b0 = jnp.broadcast_to(obstacles.p0[None], (L, K, 3))
     b1 = jnp.broadcast_to(obstacles.p1[None], (L, K, 3))
     rb = jnp.broadcast_to(obstacles.radius[None], (L, K))
 
-    sup_link = lambda d: gjk.support_hull(verts, d)
+    Rt = jnp.swapaxes(R, -1, -2)
+
+    def sup_link(d):
+        # support in LINK-LOCAL frame: the vertex table stays a compile-time
+        # constant (the world-frame formulation re-reads a per-env
+        # (L, V, 3) tensor every GJK iteration); two extra tiny rotations
+        # per pair are the entire cost of the change. geom.mv keeps them on
+        # the VPU — einsum lowered them to latency-bound tiny MXU dots
+        # (12x regression).
+        d_loc = geom.mv(Rt[:, None], d)                   # R^T d, (L, K, 3)
+        s_loc = gjk.support_hull(local[:, None], d_loc)   # (L, K, 3)
+        return geom.mv(R[:, None], s_loc) + t[:, None]
+
     sup_obs = lambda d: gjk.support_capsule(b0, b1, rb, d)
-    centroid = jnp.mean(world, axis=-2)                   # (L, 3)
+    centroid = geom.mv(R, jnp.mean(local, axis=-2)) + t   # (L, 3)
     d0 = (obstacles.p0 + obstacles.p1)[None] / 2 - centroid[:, None]
     pl, po, n, dist, _gap = gjk.closest_points(sup_link, sup_obs, d0,
                                                iters=iters)
