@@ -144,6 +144,11 @@ def main():
                      size=(C, model.n_q)).astype(np.float32)
     obs_keys = jax.random.split(jax.random.PRNGKey(args.seed), C)
     obstacles = jax.vmap(lambda k: rnd.randomize_obstacles(k, 1))(obs_keys)
+    # strip cylinder kind tags: both oracles below model the obstacle as a
+    # capsule, so the hull run must too (isolates LINK-geometry error; the
+    # flat-cap cylinder exactness is tested separately in tests/test_gjk.py)
+    from rmp_tpu.sim.collision import ObstacleSet
+    obstacles = ObstacleSet(obstacles.p0, obstacles.p1, obstacles.radius)
 
     if args.geometry == "hull":
         from rmp_tpu.sim.collision import robot_obstacle_distances_hull

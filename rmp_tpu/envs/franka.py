@@ -386,7 +386,8 @@ def env_moving_obstacles(amplitude: float = 0.1,
                  * jnp.asarray(dirs))
         obstacles = ObstacleSet(p0=base_obstacles.p0 + shift,
                                 p1=base_obstacles.p1 + shift,
-                                radius=base_obstacles.radius)
+                                radius=base_obstacles.radius,
+                                kinds=base_obstacles.kinds)
         import dataclasses as dc
         return dc.replace(sim, obstacles=obstacles)
 

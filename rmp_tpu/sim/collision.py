@@ -33,24 +33,30 @@ _EPS = 1e-9
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ObstacleSet:
-    """Struct-of-arrays obstacle collection (all capsules), world frame.
+    """Struct-of-arrays obstacle collection, world frame.
 
     p0, p1: (K, 3) segment endpoints (equal for spheres); radius: (K,).
     A pytree — poses/sizes are traced values, so scenes randomize without
     recompilation; K is static.
+
+    kinds: optional STATIC per-obstacle shape tags ('capsule' | 'cylinder'),
+    pytree aux data. The capsule queries ignore them (every shape is
+    treated as a capsule, the reference-era approximation); the exact GJK
+    hull mode uses them to give cylinders their true FLAT caps
+    (ops/gjk.support_cylinder). None means all-capsule.
     """
 
     p0: Array
     p1: Array
     radius: Array
+    kinds: tuple[str, ...] | None = None
 
     def tree_flatten(self):
-        return (self.p0, self.p1, self.radius), None
+        return (self.p0, self.p1, self.radius), self.kinds
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        del aux
-        return cls(*children)
+        return cls(*children, kinds=aux)
 
     @property
     def count(self) -> int:
@@ -58,10 +64,15 @@ class ObstacleSet:
 
     @staticmethod
     def of(*obstacles: "ObstacleSet") -> "ObstacleSet":
+        kinds = None
+        if any(o.kinds is not None for o in obstacles):
+            kinds = sum((o.kinds if o.kinds is not None
+                         else ("capsule",) * o.count for o in obstacles), ())
         return ObstacleSet(
             p0=jnp.concatenate([o.p0 for o in obstacles], axis=-2),
             p1=jnp.concatenate([o.p1 for o in obstacles], axis=-2),
-            radius=jnp.concatenate([o.radius for o in obstacles], axis=-1))
+            radius=jnp.concatenate([o.radius for o in obstacles], axis=-1),
+            kinds=kinds)
 
 
 def sphere_obstacle(center, radius) -> ObstacleSet:
@@ -71,15 +82,18 @@ def sphere_obstacle(center, radius) -> ObstacleSet:
 
 def cylinder_obstacle(base_position, base_orientation_euler, radius,
                       height) -> ObstacleSet:
-    """Cylinder (URDF/PyBullet convention: axis = local z, centered) as a
-    capsule along its axis.  base_orientation_euler: extrinsic-XYZ (the
-    reference passes eulers to PyBullet, simulation.py:245-272)."""
+    """Cylinder (URDF/PyBullet convention: axis = local z, centered), capsule
+    p0/p1/radius parameterization + kind tag.  The capsule queries round the
+    caps; the GJK hull mode models them flat (exact).
+    base_orientation_euler: extrinsic-XYZ (the reference passes eulers to
+    PyBullet, simulation.py:245-272)."""
     c = jnp.asarray(base_position, jnp.float32)
     R = geom.rotation_matrix_from_rpy(jnp.asarray(base_orientation_euler,
                                                   jnp.float32))
     half = (height / 2.0) * R[:, 2]
     return ObstacleSet((c - half)[None], (c + half)[None],
-                       jnp.asarray([radius], jnp.float32))
+                       jnp.asarray([radius], jnp.float32),
+                       kinds=("cylinder",))
 
 
 def segment_closest_params(a0: Array, a1: Array, b0: Array, b1: Array):
@@ -267,7 +281,18 @@ def robot_obstacle_distances_hull(model: KinematicModel, T_all: Array,
         s_loc = gjk.support_hull(local[:, None], d_loc)   # (L, K, 3)
         return geom.mv(R[:, None], s_loc) + t[:, None]
 
-    sup_obs = lambda d: gjk.support_capsule(b0, b1, rb, d)
+    if (obstacles.kinds is not None
+            and any(k == "cylinder" for k in obstacles.kinds)):
+        # exact flat caps for cylinder-tagged obstacles (the reference's
+        # PyBullet cylinders); static per-obstacle select
+        is_cyl = jnp.asarray([k == "cylinder" for k in obstacles.kinds])
+
+        def sup_obs(d):
+            return jnp.where(is_cyl[None, :, None],
+                             gjk.support_cylinder(b0, b1, rb, d),
+                             gjk.support_capsule(b0, b1, rb, d))
+    else:
+        sup_obs = lambda d: gjk.support_capsule(b0, b1, rb, d)
     centroid = geom.mv(R, jnp.mean(local, axis=-2)) + t   # (L, 3)
     d0 = (obstacles.p0 + obstacles.p1)[None] / 2 - centroid[:, None]
     pl, po, n, dist, _gap = gjk.closest_points(sup_link, sup_obs, d0,

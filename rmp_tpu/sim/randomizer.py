@@ -83,7 +83,8 @@ def randomize_obstacles(key: Array, n_obstacles: int,
                                 maxval=space.height_high)
     axis_dir = geom.rotation_matrix_from_rpy(rpy)[..., :, 2]
     half = (height / 2.0)[..., None] * axis_dir
-    return ObstacleSet(p0=center - half, p1=center + half, radius=radius)
+    return ObstacleSet(p0=center - half, p1=center + half, radius=radius,
+                       kinds=("cylinder",) * n_obstacles)
 
 
 def randomize_robot_config(key: Array,

@@ -101,6 +101,8 @@ def test_hull_query_witnesses_feasible(panda_hulls):
         q = rng.uniform(np.asarray(model.q_lower),
                         np.asarray(model.q_upper)).astype(np.float32)
         obs = randomize_obstacles(jax.random.PRNGKey(trial), 2)
+        # strip cylinder tags: this test's surface check is capsule-based
+        obs = C.ObstacleSet(obs.p0, obs.p1, obs.radius)
         T_all = K.fk_all(model, jnp.asarray(q))
         pl, po, n, d = C.robot_obstacle_distances_hull(model, T_all, obs)
         pl, po, d = map(np.asarray, (pl, po, d))
@@ -135,6 +137,8 @@ def test_hull_distance_beats_vertex_bound(panda_hulls):
     model, hv = panda_hulls
     q = jnp.zeros(model.n_q)
     obs = randomize_obstacles(jax.random.PRNGKey(7), 3)
+    # strip cylinder tags: the vertex bound below is a capsule distance
+    obs = C.ObstacleSet(obs.p0, obs.p1, obs.radius)
     T_all = K.fk_all(model, q)
     _, _, _, d = C.robot_obstacle_distances_hull(model, T_all, obs)
     T = np.asarray(T_all, np.float64)
@@ -170,3 +174,25 @@ def test_hull_mode_rollout_close_to_capsule():
     qh, qc = np.asarray(fh.sim.q), np.asarray(fc.sim.q)
     assert np.isfinite(qh).all()
     assert np.abs(qh - qc).max() < 5e-3
+
+
+def test_hull_query_honors_cylinder_kinds(panda_hulls):
+    """Cylinder-tagged obstacles get exact FLAT caps in hull mode: an
+    obstacle whose cap faces a link reports MORE clearance than the
+    capsule model (which rounds the cap outward by its radius)."""
+    from rmp_tpu.models import kinematics as K
+    model, _ = panda_hulls
+    q = jnp.asarray(np.zeros(model.n_q), jnp.float32)
+    T_all = K.fk_all(model, q)
+    # vertical cylinder directly above the wrist, cap pointing down
+    cyl = C.cylinder_obstacle([0.1, 0.0, 1.6], [0.0, 0.0, 0.0],
+                              radius=0.2, height=0.4)
+    assert cyl.kinds == ("cylinder",)
+    _, _, _, d_cyl = C.robot_obstacle_distances_hull(model, T_all, cyl)
+    capsule_only = C.ObstacleSet(cyl.p0, cyl.p1, cyl.radius)
+    _, _, _, d_cap = C.robot_obstacle_distances_hull(model, T_all,
+                                                     capsule_only)
+    # for links under the cap, the flat model is FARTHER by up to r
+    gain = np.asarray(d_cyl - d_cap)
+    assert gain.max() > 0.05
+    assert gain.min() > -1e-4          # flat caps never closer than round
