@@ -92,6 +92,11 @@ def fk_derivatives(model: KinematicModel, q: Array, qd: Array):
             Wd[i] = Wd_par + qd_i * (geom.mm(W_par, Gi) - geom.mm(Gi, W_par))
 
     T16 = jnp.stack(T).reshape(F, 16)
+    # NOTE r2 negative result: hand-stacking these per-frame products into
+    # single batched mm's ((F,4,4) stacks, and the (ancestor, frame) pair
+    # stack for J16) measured 5-14% SLOWER end-to-end — the stacks
+    # materialize concat intermediates XLA otherwise fuses away. Keep the
+    # per-frame loops; XLA's own fusion wins here.
     Td = [geom.mm(W[k], T[k]) for k in range(F)]
     Td16 = jnp.stack(Td).reshape(F, 16)
     c = [geom.mm(Wd[k] + geom.mm(W[k], W[k]), T[k]) for k in range(F)]
