@@ -197,7 +197,13 @@ def env_03_self_avoidance() -> Env:
     def context_fn(model_, sim, T_all=None):
         if T_all is None:
             T_all = K.fk_all(model_, sim.q)
-        pos_a, pos_b, normal, dist = robot_self_distances(model_, T_all, pairs)
+        if env.collision_geometry == "hull":
+            from rmp_tpu.sim.collision import robot_self_distances_hull
+            pos_a, pos_b, normal, dist = robot_self_distances_hull(
+                model_, T_all, pairs)
+        else:
+            pos_a, pos_b, normal, dist = robot_self_distances(model_, T_all,
+                                                              pairs)
         ctx = {}
         for f in frames:
             rows = [i for i, (a, _) in enumerate(pairs) if a == f]
@@ -214,10 +220,13 @@ def env_03_self_avoidance() -> Env:
         sim = init_state(model, q=Q_READY, goal=[0.6, 0.0, 0.4])
         return env_state(sim, key)
 
-    return Env(name="franka/03_self_avoidance", model=model,
-               policies=policies, reset=reset, ee_frame=model.frame_index(EE),
-               bind_params=_goal_bind(), context_fn=context_fn,
-               on_solved=_resample_goal([0.3, -0.7, 0.3], [0.7, 0.7, 0.7]))
+    # context_fn closes over the env so post-construction
+    # env.collision_geometry = 'hull' switches the self-distance queries too
+    env = Env(name="franka/03_self_avoidance", model=model,
+              policies=policies, reset=reset, ee_frame=model.frame_index(EE),
+              bind_params=_goal_bind(), context_fn=context_fn,
+              on_solved=_resample_goal([0.3, -0.7, 0.3], [0.7, 0.7, 0.7]))
+    return env
 
 
 def env_04_nullspace_control() -> Env:

@@ -307,6 +307,59 @@ def robot_obstacle_distances_hull(model: KinematicModel, T_all: Array,
             jnp.where(near, jnp.minimum(cap_d, dist), dist))
 
 
+def robot_self_distances_hull(model: KinematicModel, T_all: Array,
+                              pairs: tuple[tuple[int, int], ...],
+                              hull_verts: Array | None = None,
+                              iters: int = 12):
+    """Hull-vs-hull closest-point queries for static frame pairs — the
+    exact-geometry counterpart of robot_self_distances (same return tuple,
+    leading axis len(pairs)), solved by batched simplex GJK with both
+    supports evaluated in their link-local frames (static vertex tables).
+
+    Hybrid near contact (<=0.5 mm or hull overlap): the capsule result
+    supplies the penetration-depth surrogate and a stable normal."""
+    from rmp_tpu.ops import gjk
+
+    if hull_verts is None:
+        from rmp_tpu.models.hulls import hulls_for
+        hull_verts = hulls_for(model)
+        if hull_verts is None:
+            raise ValueError(
+                f"no hull asset for robot {model.name!r}; run "
+                "experiments/fit_hulls.py or use capsule collision")
+    cap_pl, cap_po, cap_n, cap_d = robot_self_distances(model, T_all, pairs)
+
+    import numpy as np
+    local = np.asarray(hull_verts)                        # (L, V, 3)
+    row = {f: i for i, f in enumerate(model.collision_frames)}
+    la = jnp.asarray(local[[row[a] for a, _ in pairs]])   # (P, V, 3) static
+    lb = jnp.asarray(local[[row[b] for _, b in pairs]])
+    Ta = T_all[jnp.asarray([a for a, _ in pairs])]        # (P, 4, 4)
+    Tb = T_all[jnp.asarray([b for _, b in pairs])]
+
+    def posed_support(loc, T):
+        R, t = T[..., :3, :3], T[..., :3, 3]
+        Rt = jnp.swapaxes(R, -1, -2)
+
+        def sup(d):
+            s_loc = gjk.support_hull(loc, geom.mv(Rt, d))
+            return geom.mv(R, s_loc) + t
+        return sup
+
+    sup_a = posed_support(la, Ta)
+    sup_b = posed_support(lb, Tb)
+    ca = geom.mv(Ta[..., :3, :3], jnp.mean(la, axis=-2)) + Ta[..., :3, 3]
+    cb = geom.mv(Tb[..., :3, :3], jnp.mean(lb, axis=-2)) + Tb[..., :3, 3]
+    pl, po, n, dist, _gap = gjk.closest_points(sup_a, sup_b, cb - ca,
+                                               iters=iters)
+
+    near = dist <= 5e-4
+    n3 = near[..., None]
+    return (jnp.where(n3, cap_pl, pl), jnp.where(n3, cap_po, po),
+            jnp.where(n3, cap_n, n),
+            jnp.where(near, jnp.minimum(cap_d, dist), dist))
+
+
 def self_collision_pairs(model: KinematicModel, n_neighbors: int = 3,
                          exclude_below: float | None = None,
                          q_ref=None):

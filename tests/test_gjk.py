@@ -196,3 +196,31 @@ def test_hull_query_honors_cylinder_kinds(panda_hulls):
     gain = np.asarray(d_cyl - d_cap)
     assert gain.max() > 0.05
     assert gain.min() > -1e-4          # flat caps never closer than round
+
+
+def test_self_distances_hull(panda_hulls):
+    """Hull-vs-hull self-distance queries: witness consistency + close to
+    the capsule result away from contact; franka/03 runs end-to-end with
+    collision_geometry='hull'."""
+    from rmp_tpu.models import kinematics as K
+    model, _ = panda_hulls
+    pairs = C.self_collision_pairs(model, n_neighbors=3)
+    T_all = K.fk_all(model, jnp.zeros(model.n_q))
+    pl, po, n, d = C.robot_self_distances_hull(model, T_all, pairs)
+    _, _, _, d_cap = C.robot_self_distances(model, T_all, pairs)
+    d, d_cap = np.asarray(d), np.asarray(d_cap)
+    pl, po = np.asarray(pl), np.asarray(po)
+    sep = d > 1e-3
+    assert sep.any()
+    np.testing.assert_allclose(
+        np.linalg.norm(pl - po, axis=-1)[sep], d[sep], atol=1e-4)
+    # hulls and fitted capsules agree to a few cm on link-link distances
+    assert np.abs(d - d_cap)[sep].max() < 0.05
+
+    from rmp_tpu import envs
+    env = envs.make("franka/03_self_avoidance")
+    env.collision_geometry = "hull"
+    states = envs.make_batched_reset(env, 2)(jax.random.PRNGKey(0))
+    f, _ = jax.jit(envs.make_batched_rollout(env, 3))(states,
+                                                      env.gather_params())
+    assert np.isfinite(np.asarray(f.sim.q)).all()
