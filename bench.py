@@ -42,7 +42,7 @@ def main():
     # payload) overlaps with device execution, exactly as in a production
     # loop that dispatches continuously. chain=1 restores the old
     # block-per-call methodology (~20% lower at 150 ticks).
-    chain = int(os.environ.get("RMP_BENCH_CHAIN", "8"))
+    chain = int(os.environ.get("RMP_BENCH_CHAIN", "16"))
 
     from rmp_tpu import envs
 

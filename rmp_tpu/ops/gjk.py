@@ -45,14 +45,42 @@ _EPS = 1e-12
 
 
 def support_hull(verts: Array, d: Array) -> Array:
-    """Convex polytope support point. verts: (..., V, 3) WORLD-frame vertex
-    table; d: (..., 3). Branchless: ties are resolved by averaging the
-    argmax set, which still lies on the supporting face."""
-    dots = jnp.sum(verts * d[..., None, :], axis=-1)          # (..., V)
-    m = jnp.max(dots, axis=-1, keepdims=True)
-    w = (dots >= m - 1e-7 * jnp.maximum(jnp.abs(m), 1.0)).astype(verts.dtype)
-    return jnp.sum(w[..., None] * verts, axis=-2) / (
-        jnp.sum(w, axis=-1)[..., None] + _EPS)
+    """Convex polytope support point. verts: (..., V, 3) vertex table;
+    d: (..., 3). Ties resolve to the first argmax vertex.
+
+    ONE variadic lax.reduce carrying (dot, x, y, z): the per-element dot is
+    unrolled elementwise so XLA fuses it INTO the reduction — the naive
+    max-then-select formulation materializes the (batch, pairs, V) dot
+    tensor to HBM between its two reduction kernels (~130 MB per GJK
+    iteration at production batches). Not differentiable (custom-computation
+    reduce has no autodiff rule); GJK feeds the distance CONTEXT, which is
+    data, not a differentiated path."""
+    if jax.default_backend() != "tpu":
+        # CPU/GPU: variadic custom-computation reduce lowers to a scalar
+        # loop on CPU (~13x slower test tier); the two-pass max+select is
+        # fine there (the HBM-traffic argument is a TPU concern)
+        dots = jnp.sum(verts * d[..., None, :], axis=-1)      # (..., V)
+        m = jnp.max(dots, axis=-1, keepdims=True)
+        w = (dots >= m).astype(verts.dtype)
+        return jnp.sum(w[..., None] * verts, axis=-2) / (
+            jnp.sum(w, axis=-1)[..., None] + _EPS)
+    dx, dy, dz = d[..., None, 0], d[..., None, 1], d[..., None, 2]
+    vx = jnp.broadcast_to(verts[..., 0], jnp.broadcast_shapes(
+        verts[..., 0].shape, dx.shape))
+    vy = jnp.broadcast_to(verts[..., 1], vx.shape)
+    vz = jnp.broadcast_to(verts[..., 2], vx.shape)
+    dots = vx * dx + vy * dy + vz * dz                        # (..., V)
+    neg = jnp.float32(-jnp.inf)
+
+    def comb(a, b):
+        keep = a[0] >= b[0]
+        return tuple(jnp.where(keep, ai, bi) for ai, bi in zip(a, b))
+
+    _, x, y, z = jax.lax.reduce(
+        (dots, vx, vy, vz),
+        (neg, jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+        comb, (dots.ndim - 1,))
+    return jnp.stack([x, y, z], axis=-1)
 
 
 def support_capsule(p0: Array, p1: Array, r: Array, d: Array) -> Array:

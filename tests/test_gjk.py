@@ -88,6 +88,7 @@ def panda_hulls():
     return model, hv
 
 
+@pytest.mark.slow
 def test_hull_query_witnesses_feasible(panda_hulls):
     """robot_obstacle_distances_hull: distance == |pa - pb| with pa inside
     the link hull and pb on the obstacle surface (separated pairs)."""
@@ -129,6 +130,7 @@ def test_hull_query_witnesses_feasible(panda_hulls):
                 assert abs(dcap) < 1e-4
 
 
+@pytest.mark.slow
 def test_hull_distance_beats_vertex_bound(panda_hulls):
     """GJK distance <= the distance of every hull VERTEX to the obstacle
     (vertex sampling is an upper bound on the true hull distance)."""
@@ -156,6 +158,7 @@ def test_hull_distance_beats_vertex_bound(panda_hulls):
             assert float(d[li, k]) <= dv + 1e-4
 
 
+@pytest.mark.slow
 def test_hull_mode_rollout_close_to_capsule():
     """collision_geometry='hull' runs end-to-end on the flagship env and
     stays finite + close to the capsule-mode trajectory over a short
@@ -176,6 +179,7 @@ def test_hull_mode_rollout_close_to_capsule():
     assert np.abs(qh - qc).max() < 5e-3
 
 
+@pytest.mark.slow
 def test_hull_query_honors_cylinder_kinds(panda_hulls):
     """Cylinder-tagged obstacles get exact FLAT caps in hull mode: an
     obstacle whose cap faces a link reports MORE clearance than the
@@ -198,6 +202,7 @@ def test_hull_query_honors_cylinder_kinds(panda_hulls):
     assert gain.min() > -1e-4          # flat caps never closer than round
 
 
+@pytest.mark.slow
 def test_self_distances_hull(panda_hulls):
     """Hull-vs-hull self-distance queries: witness consistency + close to
     the capsule result away from contact; franka/03 runs end-to-end with
