@@ -284,12 +284,15 @@ def robot_obstacle_distances_hull(model: KinematicModel, T_all: Array,
     if (obstacles.kinds is not None
             and any(k == "cylinder" for k in obstacles.kinds)):
         # exact flat caps for cylinder-tagged obstacles (the reference's
-        # PyBullet cylinders); static per-obstacle select
+        # PyBullet cylinders); static per-obstacle select. Unit axis is
+        # precomputed once — not per GJK iteration.
         is_cyl = jnp.asarray([k == "cylinder" for k in obstacles.kinds])
+        an = (b1 - b0) / (jnp.linalg.norm(b1 - b0, axis=-1,
+                                          keepdims=True) + 1e-12)
 
         def sup_obs(d):
             return jnp.where(is_cyl[None, :, None],
-                             gjk.support_cylinder(b0, b1, rb, d),
+                             gjk.support_cylinder_unit(b0, b1, an, rb, d),
                              gjk.support_capsule(b0, b1, rb, d))
     else:
         sup_obs = lambda d: gjk.support_capsule(b0, b1, rb, d)
