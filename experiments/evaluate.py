@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--ticks", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--geometry", choices=("capsule", "hull"),
+                    default="capsule",
+                    help="link collision geometry (hull = exact mesh-hull "
+                         "GJK; requires a hull asset for the robot)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -44,6 +48,7 @@ def main():
     # the indefinite-safe 'solve'; overriding with cholesky here once biased
     # the sweep metrics near the velocity-cap singular band — ADVICE r1)
     env = envs.make(args.env)
+    env.collision_geometry = args.geometry
     fused = args.batch % 128 == 0 and not args.cpu
     states = envs.make_batched_reset(env, args.batch)(
         jax.random.PRNGKey(args.seed))
@@ -69,6 +74,7 @@ def main():
 
     report = {
         "env": args.env,
+        "geometry": args.geometry,
         "batch": args.batch,
         "ticks": args.ticks,
         "success_rate": float(solved_any.mean()),

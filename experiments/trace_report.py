@@ -84,6 +84,8 @@ def main():
     ap.add_argument("--by-source", action="store_true",
                     help="aggregate by jax source location instead of op name")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--geometry", choices=("capsule", "hull"),
+                    default="capsule")
     args = ap.parse_args()
 
     import jax
@@ -96,6 +98,7 @@ def main():
     env = envs.make("franka/06_cluttered_environment")
     env.resolve_method = "solve"
     env.unroll_substeps = False
+    env.collision_geometry = args.geometry
     params = env.gather_params()
     states = envs.make_batched_reset(env, args.batch)(jax.random.PRNGKey(0))
     rollout = jax.jit(envs.make_batched_rollout(env, args.ticks,
