@@ -134,7 +134,7 @@ _QUAD = (0, 1, 2, 3)
 _FEAS = -1e-6     # barycentric feasibility slack
 
 
-def _johnson(Y: Array):
+def _johnson(Y: Array, newest_only: bool = False):
     """Closest point of conv(Y) to the origin, branchless.
 
     Y: (..., 4, 3) simplex slots (duplicates allowed — degenerate subsets
@@ -147,8 +147,18 @@ def _johnson(Y: Array):
     (all-nonnegative barycentrics) and equals it; every other feasible
     subset projects at no smaller norm. So min-norm over feasible subsets
     is exact.
+
+    newest_only=True evaluates only subsets CONTAINING SLOT 0 (8 of 15):
+    the classic GJK invariant — the optimal subset of the updated simplex
+    contains the just-inserted support point (slot 0 by construction in
+    closest_points). ~40% less subset work in the iteration loop; the
+    final projection after the loop uses the full enumeration.
     """
     y = [Y[..., i, :] for i in range(4)]
+    singles = ((0,),) if newest_only else _SINGLES
+    pairs = (((0, 1), (0, 2), (0, 3)) if newest_only else _PAIRS)
+    triples = (((0, 1, 2), (0, 1, 3), (0, 2, 3)) if newest_only
+               else _TRIPLES)
     dot = {(i, j): jnp.sum(y[i] * y[j], axis=-1)
            for i in range(4) for j in range(4) if i <= j}
 
@@ -176,15 +186,15 @@ def _johnson(Y: Array):
 
     best = (best_n2, best_x, best_lam)
     one = jnp.ones(batch, Y.dtype)
-    for (i,) in _SINGLES:
+    for (i,) in singles:
         best = consider(jnp.ones(batch, bool), y[i], scatter([(i, one)]), best)
-    for i, j in _PAIRS:
+    for i, j in pairs:
         e2 = d(i, i) - 2 * d(i, j) + d(j, j)          # |y_j - y_i|^2
         t = (d(i, i) - d(i, j)) / (e2 + _EPS)
         feas = (e2 > 1e-12) & (t >= _FEAS) & (t <= 1 - _FEAS)
         x = y[i] + t[..., None] * (y[j] - y[i])
         best = consider(feas, x, scatter([(i, 1 - t), (j, t)]), best)
-    for i, j, k in _TRIPLES:
+    for i, j, k in triples:
         # minimize |y_i + u (y_j - y_i) + v (y_k - y_i)|^2 (2x2 Cramer)
         a11 = d(j, j) - 2 * d(i, j) + d(i, i)
         a22 = d(k, k) - 2 * d(i, k) + d(i, i)
@@ -260,7 +270,9 @@ def closest_points(support_a, support_b, d0: Array, iters: int = 16):
 
     def body(carry, _):
         Ya, Yb, done = carry
-        x, lam = _johnson(Ya - Yb)
+        # newest-insert-in-slot-0 invariant lets the in-loop solve skip
+        # the 7 subsets not containing slot 0
+        x, lam = _johnson(Ya - Yb, newest_only=True)
         sa = support_a(-x)
         sb = support_b(x)
         # convergence: support gap |x|^2 - x.s <= tol means x is optimal
@@ -270,13 +282,20 @@ def closest_points(support_a, support_b, d0: Array, iters: int = 16):
         n2 = jnp.sum(x * x, axis=-1)
         gap = n2 - jnp.sum(x * (sa - sb), axis=-1)
         done = done | (gap <= 1e-5 * n2 + 1e-12)
-        # replace the least-supporting slot (first argmin of lam)
+        # evict the least-supporting slot, then rotate: old slot 0 moves
+        # into the evicted slot and the NEW support takes slot 0
         m = jnp.min(lam, axis=-1, keepdims=True)
         is_min = lam <= m
         first = jnp.cumsum(is_min.astype(lam.dtype), axis=-1) <= 1
-        repl = (is_min & first & ~done[..., None])[..., None]
-        Ya = jnp.where(repl, sa[..., None, :], Ya)
-        Yb = jnp.where(repl, sb[..., None, :], Yb)
+        evict = (is_min & first)[..., None]               # (..., 4, 1)
+        live = ~done[..., None, None]
+        old0a = Ya[..., 0:1, :]
+        old0b = Yb[..., 0:1, :]
+        Ya = jnp.where(evict & live, old0a, Ya)
+        Yb = jnp.where(evict & live, old0b, Yb)
+        slot0 = jnp.asarray([True, False, False, False])[:, None]
+        Ya = jnp.where(slot0 & live, sa[..., None, :], Ya)
+        Yb = jnp.where(slot0 & live, sb[..., None, :], Yb)
         return (Ya, Yb, done), None
 
     done0 = jnp.zeros(jnp.broadcast_shapes(

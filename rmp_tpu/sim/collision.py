@@ -230,7 +230,7 @@ def robot_obstacle_distances(model: KinematicModel, T_all: Array,
 def robot_obstacle_distances_hull(model: KinematicModel, T_all: Array,
                                   obstacles: ObstacleSet,
                                   hull_verts: Array | None = None,
-                                  iters: int = 12):
+                                  iters: int = 10):
     """Exact convex-hull closest-point queries (the GJK collision mode).
 
     Same contract as robot_obstacle_distances — (pos_on_link,
@@ -313,7 +313,7 @@ def robot_obstacle_distances_hull(model: KinematicModel, T_all: Array,
 def robot_self_distances_hull(model: KinematicModel, T_all: Array,
                               pairs: tuple[tuple[int, int], ...],
                               hull_verts: Array | None = None,
-                              iters: int = 12):
+                              iters: int = 10):
     """Hull-vs-hull closest-point queries for static frame pairs — the
     exact-geometry counterpart of robot_self_distances (same return tuple,
     leading axis len(pairs)), solved by batched simplex GJK with both
