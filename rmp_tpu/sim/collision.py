@@ -9,7 +9,8 @@ p.getClosestPoints) with two interchangeable link geometries:
   * HULL (robot_obstacle_distances_hull): links are decimated convex hulls
     of the actual reference meshes, solved by batched simplex GJK
     (ops/gjk.py) — sub-mm agreement with PyBullet's (convexified-mesh)
-    distances at ~4x the query cost; reports/collision_mesh_error_hull.json.
+    distances (reports/collision_mesh_error_hull.json); ~6x the end-to-end
+    rollout cost of the capsule mode, still above 1M steps/s/chip.
 
 Every query returns the same tuple PyBullet does: (point on link surface,
 point on obstacle surface, normal on obstacle pointing toward the link,
