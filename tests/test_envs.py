@@ -315,3 +315,33 @@ def test_with_aux_false_matches_final_state():
         assert aux is not None
         np.testing.assert_array_equal(np.asarray(fa.sim.q),
                                       np.asarray(fb.sim.q))
+
+
+def test_invariant_carry_hoist_matches_plain_scan():
+    """_scan_with_invariant_carry == a plain lax.scan, on BOTH a static
+    scene (obstacles hoisted out of the carry) and a moving-obstacle scene
+    (update_scene mutates them, so they must stay in the carry)."""
+    from rmp_tpu.envs.base import make_batched_control_step
+
+    for name in ("franka/06_cluttered_environment", "franka/moving_obstacles"):
+        env = envs.make(name)
+        env.resolve_method = "pinv"   # small batch; Pallas path needs B%128
+        states = envs.make_batched_reset(env, 8)(jax.random.PRNGKey(3))
+        params = env.gather_params()
+        step = make_batched_control_step(env)
+
+        def plain(states, params):
+            def body(s, _):
+                s, _aux = step(s, params)
+                return s, None
+            final, _ = jax.lax.scan(body, states, None, length=6)
+            return final
+
+        f_hoist, _ = jax.jit(envs.make_batched_rollout(
+            env, 6, fused_resolve=True, with_aux=False))(states, params)
+        f_plain = jax.jit(plain)(states, params)
+        np.testing.assert_array_equal(np.asarray(f_hoist.sim.q),
+                                      np.asarray(f_plain.sim.q))
+        np.testing.assert_array_equal(
+            np.asarray(f_hoist.sim.obstacles.p0),
+            np.asarray(f_plain.sim.obstacles.p0))
