@@ -42,7 +42,8 @@ def main():
 
     from rmp_tpu import envs
     from rmp_tpu.models import kinematics as K
-    from rmp_tpu.sim.collision import robot_obstacle_distances
+    from rmp_tpu.sim.collision import (robot_obstacle_distances,
+                                       robot_obstacle_distances_hull)
 
     # keep each env's own resolve_method (randomized_cluttered defaults to
     # the indefinite-safe 'solve'; overriding with cholesky here once biased
@@ -62,11 +63,15 @@ def main():
     solved_any = np.asarray(jnp.any(aux["solved"], axis=1))
     goals = np.asarray(final.solved_count)
 
+    clearance_query = (robot_obstacle_distances_hull
+                       if args.geometry == "hull"
+                       else robot_obstacle_distances)
+
     @jax.jit
     @jax.vmap
     def min_clearance(sim):
         T_all = K.fk_all(env.model, sim.q)
-        _, _, _, d = robot_obstacle_distances(env.model, T_all, sim.obstacles)
+        _, _, _, d = clearance_query(env.model, T_all, sim.obstacles)
         return jnp.min(d)
 
     clear = (np.asarray(min_clearance(final.sim))

@@ -27,11 +27,43 @@ _HULL_FILES = {"panda": "panda_hulls.npz"}
 _CACHE: dict[tuple, np.ndarray | None] = {}
 
 
+def _two_joint_hulls() -> dict[str, np.ndarray]:
+    """Exact hulls for the TwoJointRobot's PRIMITIVE collision geometry
+    (reference TwoJointRobot_wo_fixedJoints.urdf): link_1/link_2 are
+    1.0 x 0.1 x 0.05 boxes centered at x=0.5 (8 corners, exact); the EE
+    link_23_cyl is a z-axis cylinder r=0.075, l=0.05 — a 24-gon prism
+    (48 verts, 0.64 mm max chord deviation). The capsule mode rounds the
+    box ends and models the EE as a sphere; hull mode matches PyBullet's
+    primitives to sub-mm."""
+    box = np.asarray([[x, y, z] for x in (0.0, 1.0) for y in (-0.05, 0.05)
+                      for z in (-0.025, 0.025)], np.float32)
+    ang = np.linspace(0.0, 2.0 * np.pi, 24, endpoint=False)
+    ring = np.stack([0.075 * np.cos(ang), 0.075 * np.sin(ang)], axis=-1)
+    cyl = np.concatenate([
+        np.concatenate([ring, np.full((24, 1), z)], axis=-1)
+        for z in (-0.025, 0.025)]).astype(np.float32)
+    return {"link_1": box, "link_2": box, "link_23_cyl": cyl}
+
+
+_SYNTH_HULLS = {"TwoJointRobot": _two_joint_hulls}
+
+
 def hulls_for(model: KinematicModel) -> np.ndarray | None:
     """(L, V, 3) float32 local hull vertices per collision frame, or None."""
     key = (model.name, tuple(model.collision_frames))
     if key in _CACHE:
         return _CACHE[key]
+    synth = _SYNTH_HULLS.get(model.name)
+    if synth is not None:
+        data = synth()
+        per_link = [np.asarray(data[model.link_names[i]], np.float32)
+                    for i in model.collision_frames]
+        V = max(v.shape[0] for v in per_link)
+        table = np.stack([
+            np.concatenate([v, np.repeat(v[:1], V - v.shape[0], axis=0)])
+            for v in per_link])
+        _CACHE[key] = table
+        return table
     fname = _HULL_FILES.get(model.name)
     table = None
     if fname is not None:

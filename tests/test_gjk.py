@@ -229,3 +229,31 @@ def test_self_distances_hull(panda_hulls):
     f, _ = jax.jit(envs.make_batched_rollout(env, 3))(states,
                                                       env.gather_params())
     assert np.isfinite(np.asarray(f.sim.q)).all()
+
+
+@pytest.mark.slow
+def test_two_joint_hull_mode():
+    """Synthesized primitive hulls for the TwoJointRobot: hull-mode
+    distances match analytic box-to-obstacle distance at a known pose and
+    the obstacle-avoidance env runs end-to-end."""
+    from rmp_tpu.models import kinematics as K
+    from rmp_tpu.models import robots
+    model = robots.two_joint_robot()
+    T_all = K.fk_all(model, jnp.zeros(model.n_q))
+    # sphere obstacle directly above link_1's midpoint: the link frame
+    # sits at z=0.075, box z in +-0.025 -> top at 0.1; exact = 0.5-0.1-0.1
+    obs = C.sphere_obstacle([0.5, 0.0, 0.5], 0.1)
+    _, _, _, d = C.robot_obstacle_distances_hull(model, T_all, obs)
+    exact = 0.5 - (0.075 + 0.025) - 0.1
+    assert abs(float(d[0, 0]) - exact) < 1e-3
+    # capsule mode rounds the box: reports LESS clearance above the face
+    _, _, _, d_cap = C.robot_obstacle_distances(model, T_all, obs)
+    assert float(d_cap[0, 0]) < float(d[0, 0])
+
+    from rmp_tpu import envs
+    env = envs.make("two_joint/05_obstacle_avoidance")
+    env.collision_geometry = "hull"
+    states = envs.make_batched_reset(env, 4)(jax.random.PRNGKey(0))
+    f, _ = jax.jit(envs.make_batched_rollout(env, 5))(states,
+                                                      env.gather_params())
+    assert np.isfinite(np.asarray(f.sim.q)).all()
