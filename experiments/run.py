@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--gif", type=str, default=None)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--geometry", choices=("capsule", "hull"),
+                    default="capsule", help="link collision geometry")
     args = ap.parse_args()
 
     if args.cpu:
@@ -47,6 +49,7 @@ def main():
         known = "\n  ".join(sorted(envs.REGISTRY))
         raise SystemExit(f"unknown env '{args.env}'; available:\n  {known}")
     env = envs.make(args.env)
+    env.collision_geometry = args.geometry
     state = env.reset(jax.random.PRNGKey(args.seed))
     step = jax.jit(make_control_step(env))
     params = env.gather_params()

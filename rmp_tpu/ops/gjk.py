@@ -256,12 +256,13 @@ def closest_points(support_a, support_b, d0: Array, iters: int = 16):
       * normal_on_b points from B toward A (PyBullet contactNormalOnB),
       * gap certifies: true_distance ∈ [distance - gap, distance].
 
-    Each iteration adds the support point opposite the current closest
-    point into the least-supporting simplex slot; witness points on A and
-    B ride along per slot. Polytope pairs terminate exactly (the simplex
+    Each iteration evicts the least-supporting simplex slot, rotates the
+    old slot 0 into it, and inserts the new support at slot 0 (so the
+    in-loop Johnson solve can use newest_only); witness points on A and B
+    ride along per slot. Polytope pairs terminate exactly (the simplex
     reaches the supporting face); smooth shapes (capsule/cylinder/sphere
-    sides) converge linearly — 16 iterations measured < 0.2 mm p100 on
-    the Panda-hull x scene-obstacle workload (tests/test_gjk.py).
+    sides) converge linearly — 10 iterations measured max 0.21 mm vs a
+    32-iteration reference on the randomized Panda-hull workload.
     """
     sa0 = support_a(-d0)
     sb0 = support_b(d0)
