@@ -54,6 +54,10 @@ def _op_track_events(events):
     return out
 
 
+_REPO_PREFIX = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            os.pardir) + os.sep
+
+
 def device_source_durations(events):
     """{source_file:line: total_us} using the profiler's per-op `source`
     metadata (jax lowering locations) — attribution straight to repo code.
@@ -63,7 +67,7 @@ def device_source_durations(events):
     for e in events:
         a = e.get("args", {})
         src = a.get("source") or f"<{a.get('hlo_category', 'unattributed')}>"
-        src = src.replace("/root/repo/experiments/../", "")
+        src = src.replace(_REPO_PREFIX, "")
         totals[src] += e.get("dur", 0)
     return totals
 
@@ -103,19 +107,30 @@ def main():
     states = envs.make_batched_reset(env, args.batch)(jax.random.PRNGKey(0))
     rollout = jax.jit(envs.make_batched_rollout(env, args.ticks,
                                                 fused_resolve=True))
-    out = rollout(states, params)           # compile outside the trace
-    jax.block_until_ready(out[0].sim.q)
+    import contextlib
+    interp = contextlib.nullcontext()
+    if args.cpu:
+        from jax.experimental.pallas import tpu as pltpu
+        interp = pltpu.force_tpu_interpret_mode()
 
-    with tempfile.TemporaryDirectory() as td:
-        with jax.profiler.trace(td):
-            out = rollout(states, params)
-            jax.block_until_ready(out[0].sim.q)
-        events = _op_track_events(load_trace_events(td))
+    with interp:
+        out = rollout(states, params)       # compile outside the trace
+        jax.block_until_ready(out[0].sim.q)
+
+        with tempfile.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                out = rollout(states, params)
+                jax.block_until_ready(out[0].sim.q)
+            events = _op_track_events(load_trace_events(td))
         totals = (device_source_durations(events) if args.by_source
                   else device_op_durations(events))
 
     dev_total = sum(totals.values())
     n_steps = args.batch * args.ticks
+    if dev_total == 0:
+        print("no device op events in trace (CPU backends expose no "
+              "'XLA Ops' track) — use this tool on TPU")
+        return
     print(f"device time {dev_total / 1e3:.2f} ms for {args.ticks} ticks x "
           f"{args.batch} envs -> {n_steps / (dev_total / 1e6):,.0f} steps/s "
           f"(device-bound estimate)")

@@ -110,7 +110,12 @@ def take_row(table, idx: Array) -> Array:
     A single-row dynamic gather from a tiny table measured 3.7% of flagship
     device time at 4096 envs (poorly tiled gather); K-1 selects fuse into
     one VPU kernel. Same where-chain-beats-gather result as the
-    closest-primitive reduction (sim/collision.py)."""
+    closest-primitive reduction (sim/collision.py).
+
+    NOTE on out-of-range idx: falls through to row 0 (every comparison
+    misses), UNLIKE table[idx] which clamps to the nearest edge row —
+    callers must pre-clamp (the on_solved goal sequencers do, via
+    jnp.minimum)."""
     table = jnp.asarray(table)
     out = jnp.broadcast_to(table[0], table.shape[1:])
     for k in range(1, table.shape[0]):
@@ -300,11 +305,14 @@ def _scan_with_invariant_carry(step_fn, state, n_ticks, with_aux):
     a leaf (moving obstacles, resampled scenes) return fresh tracers for
     it, so it stays in the carry automatically."""
     flat, treedef = jax.tree.flatten(state)
-    # probe trace: outputs are unused except for Python-level identity
-    # checks, so jaxpr DCE drops the probe's ops from the compiled program
-    probe_out, _ = step_fn(jax.tree.unflatten(treedef, flat))
-    out_flat = jax.tree.leaves(probe_out)
-    var_idx = [k for k, (i, o) in enumerate(zip(flat, out_flat)) if o is not i]
+    # invariance probe via make_jaxpr (trace only, never executed — a plain
+    # probe call would run a full discarded tick on device in eager/grad
+    # contexts): a leaf the step forwards untouched appears as the SAME Var
+    # in the jaxpr's outvars as in its invars
+    closed = jax.make_jaxpr(lambda leaves: jax.tree.leaves(
+        step_fn(jax.tree.unflatten(treedef, leaves))[0]))(flat)
+    invars, outvars = closed.jaxpr.invars, closed.jaxpr.outvars
+    var_idx = [k for k in range(len(flat)) if outvars[k] is not invars[k]]
 
     def body(var_leaves, _):
         leaves = list(flat)

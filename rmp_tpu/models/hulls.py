@@ -48,41 +48,38 @@ def _two_joint_hulls() -> dict[str, np.ndarray]:
 _SYNTH_HULLS = {"TwoJointRobot": _two_joint_hulls}
 
 
+def _assemble(data, model: KinematicModel) -> np.ndarray | None:
+    """Pad per-link vertex lists to a common V (repeating the first vertex,
+    harmless under the support max) and stack in collision-frame order.
+    None if any collision link is missing from `data` — the caller then
+    reports hull mode unavailable instead of half-covered."""
+    per_link = []
+    for i in model.collision_frames:
+        link = model.link_names[i]
+        if link not in data:
+            return None
+        per_link.append(np.asarray(data[link], np.float32))
+    V = max(v.shape[0] for v in per_link)
+    return np.stack([
+        np.concatenate([v, np.repeat(v[:1], V - v.shape[0], axis=0)])
+        for v in per_link])
+
+
 def hulls_for(model: KinematicModel) -> np.ndarray | None:
     """(L, V, 3) float32 local hull vertices per collision frame, or None."""
     key = (model.name, tuple(model.collision_frames))
     if key in _CACHE:
         return _CACHE[key]
+    table = None
     synth = _SYNTH_HULLS.get(model.name)
     if synth is not None:
-        data = synth()
-        per_link = [np.asarray(data[model.link_names[i]], np.float32)
-                    for i in model.collision_frames]
-        V = max(v.shape[0] for v in per_link)
-        table = np.stack([
-            np.concatenate([v, np.repeat(v[:1], V - v.shape[0], axis=0)])
-            for v in per_link])
-        _CACHE[key] = table
-        return table
-    fname = _HULL_FILES.get(model.name)
-    table = None
-    if fname is not None:
-        path = os.path.join(_ASSET_DIR, fname)
-        if os.path.exists(path):
-            with np.load(path) as data:
-                per_link = []
-                ok = True
-                for i in model.collision_frames:
-                    link = model.link_names[i]
-                    if link not in data:
-                        ok = False
-                        break
-                    per_link.append(np.asarray(data[link], np.float32))
-                if ok:
-                    V = max(v.shape[0] for v in per_link)
-                    table = np.stack([
-                        np.concatenate(
-                            [v, np.repeat(v[:1], V - v.shape[0], axis=0)])
-                        for v in per_link])
+        table = _assemble(synth(), model)
+    else:
+        fname = _HULL_FILES.get(model.name)
+        if fname is not None:
+            path = os.path.join(_ASSET_DIR, fname)
+            if os.path.exists(path):
+                with np.load(path) as data:
+                    table = _assemble(data, model)
     _CACHE[key] = table
     return table

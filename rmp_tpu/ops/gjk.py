@@ -55,7 +55,7 @@ def support_hull(verts: Array, d: Array) -> Array:
     iteration at production batches). Not differentiable (custom-computation
     reduce has no autodiff rule); GJK feeds the distance CONTEXT, which is
     data, not a differentiated path."""
-    if jax.default_backend() != "tpu":
+    def two_pass(verts, d):
         # CPU/GPU: variadic custom-computation reduce lowers to a scalar
         # loop on CPU (~13x slower test tier); the two-pass max+select is
         # fine there (the HBM-traffic argument is a TPU concern)
@@ -64,23 +64,30 @@ def support_hull(verts: Array, d: Array) -> Array:
         w = (dots >= m).astype(verts.dtype)
         return jnp.sum(w[..., None] * verts, axis=-2) / (
             jnp.sum(w, axis=-1)[..., None] + _EPS)
-    dx, dy, dz = d[..., None, 0], d[..., None, 1], d[..., None, 2]
-    vx = jnp.broadcast_to(verts[..., 0], jnp.broadcast_shapes(
-        verts[..., 0].shape, dx.shape))
-    vy = jnp.broadcast_to(verts[..., 1], vx.shape)
-    vz = jnp.broadcast_to(verts[..., 2], vx.shape)
-    dots = vx * dx + vy * dy + vz * dz                        # (..., V)
-    neg = jnp.float32(-jnp.inf)
 
-    def comb(a, b):
-        keep = a[0] >= b[0]
-        return tuple(jnp.where(keep, ai, bi) for ai, bi in zip(a, b))
+    def variadic(verts, d):
+        dx, dy, dz = d[..., None, 0], d[..., None, 1], d[..., None, 2]
+        vx = jnp.broadcast_to(verts[..., 0], jnp.broadcast_shapes(
+            verts[..., 0].shape, dx.shape))
+        vy = jnp.broadcast_to(verts[..., 1], vx.shape)
+        vz = jnp.broadcast_to(verts[..., 2], vx.shape)
+        dots = vx * dx + vy * dy + vz * dz                    # (..., V)
+        neg = jnp.float32(-jnp.inf)
 
-    _, x, y, z = jax.lax.reduce(
-        (dots, vx, vy, vz),
-        (neg, jnp.float32(0), jnp.float32(0), jnp.float32(0)),
-        comb, (dots.ndim - 1,))
-    return jnp.stack([x, y, z], axis=-1)
+        def comb(a, b):
+            keep = a[0] >= b[0]
+            return tuple(jnp.where(keep, ai, bi) for ai, bi in zip(a, b))
+
+        _, x, y, z = jax.lax.reduce(
+            (dots, vx, vy, vz),
+            (neg, jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+            comb, (dots.ndim - 1,))
+        return jnp.stack([x, y, z], axis=-1)
+
+    # resolved per compilation platform (not trace-time default_backend, so
+    # a TPU-default process jitting for CPU still gets the right lowering)
+    return jax.lax.platform_dependent(verts, d, tpu=variadic,
+                                      default=two_pass)
 
 
 def support_capsule(p0: Array, p1: Array, r: Array, d: Array) -> Array:
