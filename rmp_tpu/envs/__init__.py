@@ -1,5 +1,5 @@
 """Experiment scenario registry (the reference's experiments/ as envs)."""
-from rmp_tpu.envs import base, franka, two_joint, ur5  # noqa: F401
+from rmp_tpu.envs import base, dual, franka, two_joint, ur5  # noqa: F401
 from rmp_tpu.envs.base import (Env, EnvState, env_state,  # noqa: F401
                                make_batched_reset, make_batched_rollout,
                                make_control_step, make_rollout)
@@ -22,6 +22,7 @@ REGISTRY = {
     "franka/randomized_cluttered": franka.env_randomized_cluttered,
     "franka/pose_target": franka.env_pose_target,
     "franka/moving_obstacles": franka.env_moving_obstacles,
+    "dual_panda/handover": dual.env_handover,
     "ur5/01_target_reaching": ur5.env_01_target_reaching,
     "ur5/02_obstacle_avoidance": ur5.env_02_obstacle_avoidance,
 }

@@ -99,6 +99,9 @@ class Env:
     # PyBullet-equivalent distances at ~4x the collision-query cost;
     # requires a hull asset for the robot, models/hulls.py)
     collision_geometry: str = "capsule"
+    # custom solved predicate fn(env, sim) -> bool array; None = default
+    # single-EE goal check (multi-goal scenes, e.g. dual-arm, need their own)
+    is_solved_fn: Callable | None = None
 
     def gather_params(self) -> tuple:
         return tuple(p.params for p in self.policies)
@@ -141,6 +144,8 @@ def ee_position(env: Env, sim: SimState) -> Array:
 
 
 def is_solved(env: Env, sim: SimState) -> Array:
+    if env.is_solved_fn is not None:
+        return env.is_solved_fn(env, sim)
     x = ee_position(env, sim)
     goal = sim.goal
     if env.solved_xy_only:

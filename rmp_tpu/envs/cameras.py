@@ -17,6 +17,9 @@ _FAMILY_DEFAULTS = {
                    pitch=-35.0),
     "two_joint": dict(target=(0.0, 0.0, 0.0), distance=3.48, yaw=49.2,
                       pitch=-23.0),
+    "ur5": dict(target=(0.0, 0.0, 0.3), distance=1.6, yaw=50.0, pitch=-30.0),
+    "dual_panda": dict(target=(0.2, 0.0, 0.4), distance=2.2, yaw=30.0,
+                       pitch=-25.0),
 }
 
 # per-scenario overrides (keys = env registry names)

@@ -1,0 +1,164 @@
+"""Dual-arm scenarios: two Panda arms on one kinematic tree.
+
+Capability beyond the reference (which is single-robot throughout,
+SURVEY.md §2): `models/specs.make_dual_spec` composes two robot specs under
+a common world root, after which FK, dynamics, collision, policies,
+batching, and sharding all apply unchanged — multi-robot coordination is a
+spec transform plus a policy stack, not a framework feature.
+
+dual_panda/handover: the arms face each other (bases 0.9 m apart) and take
+turns at a shared center point — every time both EEs reach their targets
+the turn swaps in-graph, so the arms repeatedly trade places through the
+contested center while per-link inter-arm collision policies (fed by the
+analytic link-link closest-point queries,
+sim/collision.robot_self_distances) keep them apart. ~5 completed
+handovers per 40 s episode at the default gains.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmp_tpu import taskmaps as tm
+from rmp_tpu.envs.base import Env, EnvState, env_state
+from rmp_tpu.models import kinematics as K
+from rmp_tpu.models import robots
+from rmp_tpu.policies import v1, v2
+from rmp_tpu.sim.collision import robot_self_distances
+from rmp_tpu.sim.world import init_state
+from rmp_tpu.ops import geom
+
+EE_L = "L_panda_grasptarget_hand"
+EE_R = "R_panda_grasptarget_hand"
+# distal links that can actually meet in the shared workspace
+_DISTAL = ("panda_link4", "panda_link5", "panda_link6", "panda_link7",
+           "panda_hand")
+
+# Alternating center-handover: the arms take TURNS at a shared center
+# point while the other retreats to its side station, swapping every time
+# both reach their targets. Simultaneous deep-crossing goals (both EEs
+# commanded into the other arm's half at once) deadlock in mutual
+# repulsion — measured during design; turn-taking keeps the avoidance
+# policies active (the arms meet near the center every swap) without
+# head-on competition.
+#   phase even: L at center, R at its side station
+#   phase odd:  R at center, L at its side station
+_CENTER_L = (0.30, 0.00, 0.47)
+_CENTER_R = (0.30, 0.00, 0.40)
+_SIDE_L = (0.35, 0.30, 0.45)
+_SIDE_R = (0.35, -0.30, 0.45)
+HANDOVER_PHASES = np.asarray([[_CENTER_L, _SIDE_R],
+                              [_SIDE_L, _CENTER_R]], np.float32)
+
+
+def _ee_taskmap(model, frame):
+    return tm.chain(tm.fk_frame(model, frame), tm.to_position())
+
+
+def env_handover() -> Env:
+    model = robots.dual_panda(separation=0.9)
+    q_ready = robots.dual_panda_q_ready(model)
+
+    # cross pairs: every distal L collision frame x every distal R frame
+    def distal(prefix):
+        return [i for i in model.collision_frames
+                if model.link_names[i].startswith(prefix)
+                and model.link_names[i][2:] in _DISTAL]
+
+    left, right = distal("L_"), distal("R_")
+    pairs = tuple((a, b) for a in left for b in right)
+
+    policies = [
+        v2.target_attractor(
+            goal=HANDOVER_PHASES[0, 0], taskmap=_ee_taskmap(model, EE_L),
+            accel_p_gain=0.6, accel_d_gain=0.9, accel_norm_eps=0.075,
+            metric_alpha_length_scale=0.05, min_metric_alpha=0.03,
+            max_metric_scalar=1, min_metric_scalar=0.5,
+            proximity_metric_boost_scalar=1.0,
+            proximity_metric_boost_length_scale=0.02, name="attractor_L"),
+        v2.target_attractor(
+            goal=HANDOVER_PHASES[0, 1], taskmap=_ee_taskmap(model, EE_R),
+            accel_p_gain=0.6, accel_d_gain=0.9, accel_norm_eps=0.075,
+            metric_alpha_length_scale=0.05, min_metric_alpha=0.03,
+            max_metric_scalar=1, min_metric_scalar=0.5,
+            proximity_metric_boost_scalar=1.0,
+            proximity_metric_boost_length_scale=0.02, name="attractor_R"),
+        v2.joint_velocity_cap(max_velocity=1.0, velocity_damping_region=0.15,
+                              damping_gain=5.0, metric_weight=0.05),
+        v2.joint_damping(accel_d_gain=1, metric_scalar=0.005, inertia=0.3),
+        v2.cspace_biasing(goal=q_ready, metric_scalar=0.005, position_gain=1,
+                          damping_gain=2, robust_position_term_thresh=0.5,
+                          inertia=0.0001),
+    ]
+    # inter-arm avoidance: one policy per distal L frame over its pair rows
+    # (franka/03 pattern; repulsion fires only on genuine approach)
+    for f in left:
+        frame = model.frame_names[f]
+        taskmap = tm.chain(tm.fk_frame(model, frame), tm.relative_offsets(),
+                           tm.to_position())
+        pol = v1.collision_avoidance(
+            taskmap=taskmap, eta_rep=0.1 * np.e, nu_rep=0.3, eta_damp=0.5,
+            nu_damp=0.3, r=0.15, c=1e5, name=f"inter_arm_for_{frame}")
+        pol.ctx_key = frame
+        policies.append(pol)
+    policies = tuple(policies)
+
+    def context_fn(model_, sim, T_all=None):
+        if T_all is None:
+            T_all = K.fk_all(model_, sim.q)
+        pos_a, pos_b, normal, dist = robot_self_distances(model_, T_all,
+                                                          pairs)
+        ctx = {}
+        for f in left:
+            rows = [i for i, (a, _) in enumerate(pairs) if a == f]
+            idx = jnp.asarray(rows)
+            T = T_all[f]
+            rel = geom.mv(T[:3, :3].T, pos_a[idx] - T[:3, 3])
+            ctx[model_.frame_names[f]] = dict(
+                pos_on_link=pos_a[idx], pos_on_obstacle=pos_b[idx],
+                normal=normal[idx], distance=dist[idx],
+                relative_position=rel, mask=jnp.ones_like(dist[idx]))
+        return ctx
+
+    iL = model.frame_index(EE_L)
+    iR = model.frame_index(EE_R)
+
+    def bind_params(params, sim, pols):
+        out = []
+        for p, prm in zip(pols, params):
+            if p.name == "attractor_L":
+                prm = dict(prm, goal=sim.goal[0])
+            elif p.name == "attractor_R":
+                prm = dict(prm, goal=sim.goal[1])
+            out.append(prm)
+        return tuple(out)
+
+    def is_solved_fn(env_, sim):
+        eL = K.fk_frame(env_.model, sim.q, iL)[:3, 3]
+        eR = K.fk_frame(env_.model, sim.q, iR)[:3, 3]
+        okL = jnp.linalg.norm(eL - sim.goal[0]) < env_.solved_tol
+        okR = jnp.linalg.norm(eR - sim.goal[1]) < env_.solved_tol
+        return okL & okR
+
+    from rmp_tpu.envs.base import take_row
+
+    def on_solved(state: EnvState) -> EnvState:
+        # advance the turn: the center arm retreats, the other takes over
+        nxt = state.phase + 1
+        sim = dataclasses.replace(
+            state.sim, goal=take_row(HANDOVER_PHASES, nxt % 2))
+        return dataclasses.replace(state, sim=sim, phase=nxt)
+
+    def reset(key):
+        sim = init_state(model, q=q_ready,
+                         goal=jnp.asarray(HANDOVER_PHASES[0]))
+        return env_state(sim, key)
+
+    return Env(name="dual_panda/handover", model=model, policies=policies,
+               reset=reset, ee_frame=iL, solved_tol=0.03,
+               bind_params=bind_params, is_solved_fn=is_solved_fn,
+               context_fn=context_fn, on_solved=on_solved,
+               resolve_method="solve", max_qdd=1000.0)

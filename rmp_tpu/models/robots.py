@@ -57,3 +57,25 @@ def ur5() -> KinematicModel:
     """6-DOF UR5 (generic-pipeline demo robot; models/specs.UR5_SPEC)."""
     from rmp_tpu.models.specs import UR5_SPEC, build_model
     return build_model(UR5_SPEC)
+
+
+@functools.lru_cache(maxsize=None)
+def dual_panda(separation: float = 0.9) -> KinematicModel:
+    """Two Panda arms on one kinematic tree, bases `separation` apart on the
+    y axis facing each other (models/specs.make_dual_spec): an 18-DOF
+    multi-robot scene using every single-robot code path unchanged."""
+    from rmp_tpu.models.specs import PANDA_SPEC, build_model, make_dual_spec
+    half = separation / 2.0
+    return build_model(make_dual_spec(
+        PANDA_SPEC, offset_a=(0.0, half, 0.0), offset_b=(0.0, -half, 0.0),
+        yaw_a=-np.pi / 2.0, yaw_b=np.pi / 2.0))
+
+
+def dual_panda_q_ready(model: KinematicModel) -> np.ndarray:
+    """Ready pose for a dual-Panda model: each motor takes the single-Panda
+    ready value of its unprefixed joint (motor order interleaves the arms,
+    so values are mapped BY NAME, never by position)."""
+    single = franka_panda()
+    by_name = dict(zip(single.motor_names, PANDA_Q_READY))
+    return np.asarray([by_name[name[2:]] for name in model.motor_names],
+                      np.float32)

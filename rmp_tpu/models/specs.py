@@ -413,3 +413,34 @@ UR5_SPEC = RobotSpec(
                   xyz=(0, 0.0823, 0), rpy=(0, 0, _HPI)),
     ),
 )
+
+
+def make_dual_spec(spec: RobotSpec,
+                   offset_a=(0.0, 0.45, 0.0), offset_b=(0.0, -0.45, 0.0),
+                   yaw_a: float = 0.0, yaw_b: float = 0.0,
+                   prefix_a: str = "L_", prefix_b: str = "R_") -> RobotSpec:
+    """Compose TWO copies of a robot spec into one kinematic tree: a 'world'
+    root link with fixed base-mount joints placing each copy at its offset/
+    yaw. The result is an ordinary single-root spec, so FK, dynamics,
+    collision, policies, and sharding all apply unchanged — multi-robot
+    scenes are a SPEC transform, not a framework feature (capability beyond
+    the reference, which is single-robot throughout)."""
+    child_names = {j.child for j in spec.joints}
+    root = next(l.name for l in spec.links if l.name not in child_names)
+
+    def clone(prefix, offset, yaw):
+        links = tuple(dataclasses.replace(l, name=prefix + l.name)
+                      for l in spec.links)
+        joints = tuple(dataclasses.replace(
+            j, name=prefix + j.name, parent=prefix + j.parent,
+            child=prefix + j.child) for j in spec.joints)
+        mount = JointSpec(prefix + "base_mount", "fixed", "world",
+                          prefix + root, xyz=tuple(offset),
+                          rpy=(0.0, 0.0, yaw))
+        return links, (mount,) + joints
+
+    la, ja = clone(prefix_a, offset_a, yaw_a)
+    lb, jb = clone(prefix_b, offset_b, yaw_b)
+    return RobotSpec(name=spec.name + "_dual",
+                     links=(LinkSpec("world"),) + la + lb,
+                     joints=ja + jb)

@@ -86,7 +86,8 @@ def render_scene_native(model, state, goal=None, camera=None,
     elif state.goal is not None:
         gp = np.asarray(state.goal)
     if gp is not None:
-        rows.append([*gp, *gp, 0.03, 0.1, 0.2, 0.9])        # goal: marker
+        for g in np.atleast_2d(gp):   # multi-goal scenes: one marker each
+            rows.append([*g, *g, 0.03, 0.1, 0.2, 0.9])      # goal: marker
     cam = camera or dict(eye=(1.6, -1.6, 1.2), target=(0.0, 0.0, 0.4), fov=50)
     cam_arr = np.asarray([*cam["eye"], *cam["target"], cam["fov"]],
                          dtype=np.float32)
