@@ -23,7 +23,11 @@ from rmp_tpu.models.urdf import KinematicModel
 
 _ASSET_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           os.pardir, os.pardir, "assets")
-_HULL_FILES = {"panda": "panda_hulls.npz"}
+_HULL_FILES = {"panda": "panda_hulls.npz",
+               # dual-arm composition reuses the single-Panda hulls: links
+               # are the same geometry under an L_/R_ prefix (specs.make_dual_spec)
+               "panda_dual": "panda_hulls.npz"}
+_LINK_ALIASES = {"panda_dual": lambda link: link[2:]}
 _CACHE: dict[tuple, np.ndarray | None] = {}
 
 
@@ -53,11 +57,14 @@ def _assemble(data, model: KinematicModel) -> np.ndarray | None:
     harmless under the support max) and stack in collision-frame order.
     None if any collision link is missing from `data` — the caller then
     reports hull mode unavailable instead of half-covered."""
+    alias = _LINK_ALIASES.get(model.name, lambda link: link)
     per_link = []
     for i in model.collision_frames:
         link = model.link_names[i]
         if link not in data:
-            return None
+            link = alias(link)
+            if link not in data:
+                return None
         per_link.append(np.asarray(data[link], np.float32))
     V = max(v.shape[0] for v in per_link)
     return np.stack([
