@@ -109,8 +109,13 @@ def env_handover() -> Env:
     def context_fn(model_, sim, T_all=None):
         if T_all is None:
             T_all = K.fk_all(model_, sim.q)
-        pos_a, pos_b, normal, dist = robot_self_distances(model_, T_all,
-                                                          pairs)
+        if env.collision_geometry == "hull":
+            from rmp_tpu.sim.collision import robot_self_distances_hull
+            pos_a, pos_b, normal, dist = robot_self_distances_hull(
+                model_, T_all, pairs)
+        else:
+            pos_a, pos_b, normal, dist = robot_self_distances(model_, T_all,
+                                                              pairs)
         ctx = {}
         for f in left:
             rows = [i for i, (a, _) in enumerate(pairs) if a == f]
@@ -157,8 +162,11 @@ def env_handover() -> Env:
                          goal=jnp.asarray(HANDOVER_PHASES[0]))
         return env_state(sim, key)
 
-    return Env(name="dual_panda/handover", model=model, policies=policies,
-               reset=reset, ee_frame=iL, solved_tol=0.03,
-               bind_params=bind_params, is_solved_fn=is_solved_fn,
-               context_fn=context_fn, on_solved=on_solved,
-               resolve_method="solve", max_qdd=1000.0)
+    # context_fn closes over the env so post-construction
+    # env.collision_geometry = 'hull' switches the inter-arm queries too
+    env = Env(name="dual_panda/handover", model=model, policies=policies,
+              reset=reset, ee_frame=iL, solved_tol=0.03,
+              bind_params=bind_params, is_solved_fn=is_solved_fn,
+              context_fn=context_fn, on_solved=on_solved,
+              resolve_method="solve", max_qdd=1000.0)
+    return env
