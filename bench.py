@@ -81,7 +81,11 @@ def main():
         t0 = time.perf_counter()
         for _ in range(chain):
             s, _ = rollout(s, params)
-        jax.block_until_ready(s.sim.q)
+        # force a VALUE fetch, not just block_until_ready: on the remote
+        # tunnel a block on an unread array was observed to under-wait in
+        # some conditions (sub-ms "completions" of 100-tick rollouts);
+        # reading a dependent scalar cannot be skipped
+        float(jnp.sum(s.sim.q))
         best = min(best, time.perf_counter() - t0)
 
     control_steps_per_sec = batch * ticks * chain / best
