@@ -63,6 +63,24 @@ def main():
     solved_any = np.asarray(jnp.any(aux["solved"], axis=1))
     goals = np.asarray(final.solved_count)
 
+    # goal feasibility: uniformly sampled goals can land inside or within
+    # EE-clearance of an obstacle — unreachable by ANY policy. Report
+    # success among feasible goals too (honest controller quality metric).
+    goal_feasible = None
+    if final.sim.obstacles is not None and final.sim.goal is not None:
+        @jax.jit
+        @jax.vmap
+        def goal_clear(sim):
+            d = point_capsule_distance(sim.goal, sim.obstacles)
+            return jnp.min(d)
+        from rmp_tpu.sim.collision import capsule_capsule_query
+
+        def point_capsule_distance(p, obs):
+            _, _, _, d = capsule_capsule_query(
+                p[None], p[None], jnp.zeros(1), obs.p0, obs.p1, obs.radius)
+            return d
+        goal_feasible = np.asarray(goal_clear(final.sim)) > 0.03
+
     clearance_query = (robot_obstacle_distances_hull
                        if args.geometry == "hull"
                        else robot_obstacle_distances)
@@ -83,6 +101,11 @@ def main():
         "batch": args.batch,
         "ticks": args.ticks,
         "success_rate": float(solved_any.mean()),
+        "goal_feasible_rate": (float(goal_feasible.mean())
+                               if goal_feasible is not None else None),
+        "success_rate_feasible_goals": (
+            float(solved_any[goal_feasible].mean())
+            if goal_feasible is not None and goal_feasible.any() else None),
         "goals_reached_mean": float(goals.mean()),
         "goals_reached_max": int(goals.max()),
         "final_penetration_rate": (float((clear < -0.01).mean())
