@@ -375,3 +375,23 @@ def test_dual_panda_handover():
         T = K.fk_all(m, jnp.asarray(q[e]))
         _, _, _, d = robot_self_distances(m, T, pairs)
         assert float(jnp.min(d)) > 0.0
+
+
+def test_dual_handover_self_golden():
+    """SELF-generated regression fixture (NOT reference parity — the
+    reference has no dual-arm capability): the dual handover trajectory is
+    deterministic, so any numerics change in the composed-tree FK, the
+    18-DOF resolve, or the inter-arm context shows up as a diff here.
+    Regenerate deliberately via the snippet in the fixture's .npz name
+    sidecar (30 ticks, batch 2, PRNGKey(0))."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "dual_handover_30t.npz")
+    data = np.load(path)
+    env = envs.make("dual_panda/handover")
+    states = envs.make_batched_reset(env, 2)(jax.random.PRNGKey(0))
+    f, _ = jax.jit(envs.make_batched_rollout(env, 30))(states,
+                                                       env.gather_params())
+    np.testing.assert_allclose(np.asarray(f.sim.q), data["q"], atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(f.solved_count),
+                                  data["solved_count"])
