@@ -377,6 +377,7 @@ def test_dual_panda_handover():
         assert float(jnp.min(d)) > 0.0
 
 
+@pytest.mark.slow
 def test_dual_handover_self_golden():
     """SELF-generated regression fixture (NOT reference parity — the
     reference has no dual-arm capability): the dual handover trajectory is
