@@ -154,3 +154,20 @@ def test_multi_primitive_link_takes_closest():
         jnp.asarray([0.1, 1.0, 0.3]), jnp.asarray([0.1, 1.0, 0.3]),
         jnp.asarray(0.05))
     np.testing.assert_allclose(float(d[0, 0]), float(d_direct), atol=1e-6)
+
+
+def test_obstacle_set_kinds_concat():
+    """ObstacleSet.of merges kind tags; None members become 'capsule'."""
+    from rmp_tpu.sim.collision import (ObstacleSet, cylinder_obstacle,
+                                       sphere_obstacle)
+    cyl = cylinder_obstacle([0, 0, 0.5], [0, 0, 0], radius=0.1, height=0.4)
+    sph = sphere_obstacle([1, 0, 0.5], 0.2)
+    both = ObstacleSet.of(cyl, sph)
+    assert both.count == 2
+    assert both.kinds == ("cylinder", "capsule")
+    # all-None stays None (no tags invented)
+    plain = ObstacleSet.of(sph, sph)
+    assert plain.kinds is None
+    # pytree round-trip preserves the static tags
+    leaves, treedef = jax.tree.flatten(both)
+    assert jax.tree.unflatten(treedef, leaves).kinds == both.kinds

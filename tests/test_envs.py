@@ -396,3 +396,18 @@ def test_dual_handover_self_golden():
     np.testing.assert_allclose(np.asarray(f.sim.q), data["q"], atol=1e-4)
     np.testing.assert_array_equal(np.asarray(f.solved_count),
                                   data["solved_count"])
+
+
+def test_take_row_matches_gather_in_range():
+    """take_row == table[idx] for in-range indices, batched and scalar."""
+    from rmp_tpu.envs.base import take_row
+    table = jnp.asarray(np.random.default_rng(0).normal(size=(6, 3)),
+                        jnp.float32)
+    for idx in range(6):
+        np.testing.assert_array_equal(
+            np.asarray(take_row(table, jnp.asarray(idx))),
+            np.asarray(table[idx]))
+    idxs = jnp.asarray([0, 5, 3, 3, 1])
+    batched = jax.vmap(lambda i: take_row(table, i))(idxs)
+    np.testing.assert_array_equal(np.asarray(batched),
+                                  np.asarray(table[idxs]))

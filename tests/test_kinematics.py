@@ -191,3 +191,19 @@ def test_fk_jit_cache_keyed_by_structure():
     assert len(K._FK_JIT_CACHE) <= before + 1
     for o in outs[1:]:
         np.testing.assert_array_equal(outs[0], o)
+
+
+def test_make_dual_spec_composition():
+    """make_dual_spec: composed tree has both arms' DOF, all frames, and
+    the single robot's joint limits under each prefix."""
+    import numpy as np
+
+    from rmp_tpu.models import robots
+    dual = robots.dual_panda()
+    single = robots.franka_panda()
+    assert dual.n_q == 2 * single.n_q
+    assert dual.n_frames == 2 * single.n_frames + 2   # + two base mounts
+    lim = dict(zip(dual.motor_names, np.asarray(dual.q_lower)))
+    lim_s = dict(zip(single.motor_names, np.asarray(single.q_lower)))
+    for name, lo in lim.items():
+        assert lo == lim_s[name[2:]]
