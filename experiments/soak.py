@@ -84,8 +84,9 @@ def main():
         wall_seconds=round(wall, 2),
         checkpoints=checks[-3:],
     )
+    tag = args.env.replace("/", "_")
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
-                       "reports", "soak.json")
+                       "reports", f"soak_{tag}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
