@@ -67,6 +67,10 @@ def main():
         ))
         goals_at.append(float(jnp.mean(s.solved_count.astype(jnp.float32))))
     wall = time.perf_counter() - t0
+    # solve-event rate per chunk: for goal-RESAMPLING envs this shows
+    # sustained progress (no late-run degradation); for finite-sequence
+    # envs it saturates once parked at the terminal goal (see NOTE below)
+    rates = [goals_at[0]] + [b - a for a, b in zip(goals_at, goals_at[1:])]
 
     # NOTE solved_count counts solve EVENTS: once an env parks at the last
     # goal of a finite sequence, the check fires every tick, so the count
@@ -81,6 +85,8 @@ def main():
         max_abs_qd_overall=max(c["max_abs_qd"] for c in checks),
         final_max_abs_qd=checks[-1]["max_abs_qd"],
         terminal_equilibrium=bool(checks[-1]["max_abs_qd"] < 1e-2),
+        solve_events_per_chunk_first=round(rates[0], 2),
+        solve_events_per_chunk_last=round(rates[-1], 2),
         wall_seconds=round(wall, 2),
         checkpoints=checks[-3:],
     )
