@@ -102,6 +102,11 @@ class Env:
     # custom solved predicate fn(env, sim) -> bool array; None = default
     # single-EE goal check (multi-goal scenes, e.g. dual-arm, need their own)
     is_solved_fn: Callable | None = None
+    # clamp q-dot to the model's URDF velocity limits each substep. OFF by
+    # default (PyBullet doesn't enforce URDF velocity limits under torque
+    # control — parity); ON for randomized scenes where deep-penetration
+    # spawns can kick unphysical transients
+    enforce_velocity_limits: bool = False
 
     def gather_params(self) -> tuple:
         return tuple(p.params for p in self.policies)
@@ -197,13 +202,15 @@ def _advance(env: Env, state: EnvState, qdd):
                        -env.max_qdd, env.max_qdd)
     if env.unroll_substeps and not env.contact:
         for _ in range(env.control_every):
-            sim = physics_step(model, sim, qdd, env.dt,
-                               torque_mode=env.torque_mode)
+            sim = physics_step(
+                model, sim, qdd, env.dt, torque_mode=env.torque_mode,
+                enforce_velocity_limits=env.enforce_velocity_limits)
     else:
         def substep(s, _):
-            return physics_step(model, s, qdd, env.dt,
-                                torque_mode=env.torque_mode,
-                                contact=env.contact), None
+            return physics_step(
+                model, s, qdd, env.dt, torque_mode=env.torque_mode,
+                enforce_velocity_limits=env.enforce_velocity_limits,
+                contact=env.contact), None
         # unroll=True: XLA sees straight-line substeps (same runtime code as
         # the Python loop above) but the body is TRACED once — Python-side
         # trace/lower of the flagship rollout drops ~100s -> ~18s

@@ -361,7 +361,8 @@ def env_randomized_cluttered(n_obstacles: int = 7) -> Env:
                          goal=rnd.randomize_goal(k_goal))
         return env_state(sim, k_carry)
 
-    return Env(name="franka/randomized_cluttered", model=model,
+    return Env(name="franka/randomized_cluttered",
+               enforce_velocity_limits=True, model=model,
                policies=policies, reset=reset, ee_frame=model.frame_index(EE),
                bind_params=_goal_bind(), on_solved=on_solved, max_qdd=100.0,
                resolve_method="solve")

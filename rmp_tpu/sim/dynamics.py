@@ -252,10 +252,21 @@ def forward_dynamics(model: KinematicModel, q: Array, qd: Array,
 
 def semi_implicit_euler_step(model: KinematicModel, q: Array, qd: Array,
                              qdd: Array, dt: float,
-                             enforce_limits: bool = True):
+                             enforce_limits: bool = True,
+                             enforce_velocity_limits: bool = False):
     """PyBullet-style integration: q̇ += q̈ dt; q += q̇ dt; hard joint limits
-    (position clamp + outward-velocity zeroing)."""
+    (position clamp + outward-velocity zeroing).
+
+    enforce_velocity_limits clamps q̇ to the model's URDF velocity limits
+    (real actuator bounds). OFF by default for reference parity: PyBullet
+    does NOT enforce URDF velocity limits under torque control (its own
+    maxJointVelocity default is 100 rad/s), and the parity goldens were
+    generated without it. Opt in for physically-bounded randomized scenes
+    (deep-penetration spawns can otherwise kick ~10 rad/s transients)."""
     qd_new = qd + qdd * dt
+    if enforce_velocity_limits:
+        vmax = jnp.asarray(model.velocity_limit)
+        qd_new = jnp.clip(qd_new, -vmax, vmax)
     q_new = q + qd_new * dt
     if enforce_limits:
         low = jnp.asarray(model.q_lower)

@@ -66,6 +66,7 @@ def init_state(model: KinematicModel, q=None, qd=None,
 def physics_step(model: KinematicModel, state: SimState, qdd_desired: Array,
                  dt: float, torque_mode: bool = False,
                  enforce_limits: bool = True,
+                 enforce_velocity_limits: bool = False,
                  contact: bool = False, contact_params=None,
                  contact_model: str = "penalty") -> SimState:
     """One physics step at Δt.
@@ -91,7 +92,8 @@ def physics_step(model: KinematicModel, state: SimState, qdd_desired: Array,
                 contact_params or ContactParams())
         qdd = dynamics.forward_dynamics(model, state.q, state.qd, tau)
     q, qd = dynamics.semi_implicit_euler_step(model, state.q, state.qd, qdd,
-                                              dt, enforce_limits)
+                                              dt, enforce_limits,
+                                              enforce_velocity_limits)
     if contact and contact_model == "impulse":
         # hard contacts: velocity-level impulse resolution post-integration
         from rmp_tpu.sim.contact import impulse_contact_velocity

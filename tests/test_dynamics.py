@@ -243,3 +243,21 @@ def test_pendulum_period_torque_mode():
     period = crossings[1] - crossings[0]
     expected = 2 * np.pi * np.sqrt(izz / (m * 9.81 * l))
     np.testing.assert_allclose(period, expected, rtol=0.03)
+
+
+def test_velocity_limit_clamp():
+    """enforce_velocity_limits clamps q-dot to the model's URDF velocity
+    limits; OFF (parity default) it doesn't."""
+    import numpy as np
+
+    from rmp_tpu.models import robots
+    model = robots.franka_panda()
+    q = jnp.zeros(model.n_q)
+    qd = jnp.zeros(model.n_q)
+    qdd = jnp.full((model.n_q,), 1e4)          # huge kick
+    _, qd_free = dynamics.semi_implicit_euler_step(model, q, qd, qdd, 0.01)
+    _, qd_clamped = dynamics.semi_implicit_euler_step(
+        model, q, qd, qdd, 0.01, enforce_velocity_limits=True)
+    vmax = np.asarray(model.velocity_limit)
+    assert (np.asarray(qd_free) > vmax).any()
+    assert (np.abs(np.asarray(qd_clamped)) <= vmax + 1e-6).all()
