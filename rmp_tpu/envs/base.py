@@ -107,6 +107,11 @@ class Env:
     # control — parity); ON for randomized scenes where deep-penetration
     # spawns can kick unphysical transients
     enforce_velocity_limits: bool = False
+    # optional stuck predicate fn(env_state) -> bool: when true, on_solved
+    # fires WITHOUT incrementing solved_count (goal-timeout resampling for
+    # randomized sweeps — reactive RMPs have local minima, and an env stuck
+    # behind an obstacle would otherwise stay stuck forever)
+    stuck_fn: Callable | None = None
 
     def gather_params(self) -> tuple:
         return tuple(p.params for p in self.policies)
@@ -219,14 +224,18 @@ def _advance(env: Env, state: EnvState, qdd):
 
     state = dataclasses.replace(state, sim=sim, steps=state.steps + 1)
     solved = is_solved(env, sim) if sim.goal is not None else jnp.asarray(False)
+    event = solved
+    if env.stuck_fn is not None:
+        event = solved | env.stuck_fn(state)
     if env.on_solved is not None:
         resampled = env.on_solved(dataclasses.replace(
-            state, solved_count=state.solved_count + 1))
+            state, solved_count=state.solved_count
+            + solved.astype(jnp.int32)))
         # identity shortcut: leaves on_solved didn't touch (obstacle sets,
         # unchanged sim fields) skip the per-tick select entirely — the
         # blanket where over the full EnvState measured ~2% device time
         state = jax.tree.map(
-            lambda a, b: b if a is b else jnp.where(solved, a, b),
+            lambda a, b: b if a is b else jnp.where(event, a, b),
             resampled, state)
     else:
         # no resampling: solved_count saturates at 1 (the goal was reached)

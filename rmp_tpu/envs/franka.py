@@ -349,9 +349,16 @@ def env_randomized_cluttered(n_obstacles: int = 7) -> Env:
         + _obstacle_policies(model))
 
     def on_solved(state: EnvState) -> EnvState:
+        # phase records the tick of the last goal event (solve OR timeout)
         k, sub = jax.random.split(state.key)
         sim = dataclasses.replace(state.sim, goal=rnd.randomize_goal(sub))
-        return dataclasses.replace(state, sim=sim, key=k)
+        return dataclasses.replace(state, sim=sim, key=k, phase=state.steps)
+
+    # goal timeout: reactive RMPs get stuck in local minima behind
+    # obstacles; after 150 ticks (15 s) without reaching the goal, resample
+    # it (solved_count NOT incremented) so every env keeps producing data
+    def stuck_fn(state: EnvState):
+        return (state.steps - state.phase) >= 150
 
     def reset(key):
         k_obs, k_robot, k_goal, k_carry = jax.random.split(key, 4)
@@ -364,7 +371,8 @@ def env_randomized_cluttered(n_obstacles: int = 7) -> Env:
     return Env(name="franka/randomized_cluttered",
                enforce_velocity_limits=True, model=model,
                policies=policies, reset=reset, ee_frame=model.frame_index(EE),
-               bind_params=_goal_bind(), on_solved=on_solved, max_qdd=100.0,
+               bind_params=_goal_bind(), on_solved=on_solved,
+               stuck_fn=stuck_fn, max_qdd=100.0,
                resolve_method="solve")
 
 
