@@ -20,7 +20,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def main():
