@@ -22,11 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_loss(env, batch: int, n_ticks: int, seed: int = 0):
+def make_loss(env, batch: int, n_ticks: int, seed: int = 0,
+              remat: bool = False):
     from rmp_tpu import envs as envs_mod
 
     states = envs_mod.make_batched_reset(env, batch)(jax.random.PRNGKey(seed))
-    rollout = envs_mod.make_batched_rollout(env, n_ticks)
+    # remat: O(ticks x state) activation memory instead of
+    # O(ticks x tick-graph) -- enables gradient tuning over long horizons
+    rollout = envs_mod.make_batched_rollout(env, n_ticks, remat=remat)
     base_params = env.gather_params()
     # which policy holds the attractor gains (first policy in these envs)
     gain_keys = ("accel_p_gain", "accel_d_gain") \
@@ -57,6 +60,8 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the tick (long-horizon tuning)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

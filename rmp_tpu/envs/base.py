@@ -300,9 +300,17 @@ def make_batched_control_step(env: Env):
     return step
 
 
-def make_rollout(env: Env, n_ticks: int):
-    """fn(env_state, params) -> (final_state, stacked aux) via lax.scan."""
+def make_rollout(env: Env, n_ticks: int, remat: bool = False):
+    """fn(env_state, params) -> (final_state, stacked aux) via lax.scan.
+
+    remat=True wraps the tick in jax.checkpoint: reverse-mode gradients
+    through the rollout (gain tuning, trajectory optimization) store only
+    the per-tick carry and recompute tick internals on the backward pass —
+    activation memory drops from O(ticks x tick-graph) to O(ticks x state),
+    trading one extra forward evaluation per tick."""
     step = make_control_step(env)
+    if remat:
+        step = jax.checkpoint(step)
 
     def rollout(state: EnvState, params: tuple):
         return _scan_with_invariant_carry(
@@ -352,7 +360,7 @@ def _scan_with_invariant_carry(step_fn, state, n_ticks, with_aux):
 
 
 def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False,
-                         with_aux: bool = True):
+                         with_aux: bool = True, remat: bool = False):
     """Batched rollout: params shared across the batch, state batched.
 
     fused_resolve=True resolves the whole batch at once per tick
@@ -365,6 +373,8 @@ def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False,
     overhead for throughput consumers that only read the final state."""
     if fused_resolve:
         step = make_batched_control_step(env)
+        if remat:
+            step = jax.checkpoint(step)
 
         def rollout(states: EnvState, params: tuple):
             final, aux = _scan_with_invariant_carry(
@@ -375,7 +385,7 @@ def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False,
             aux = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), aux)
             return final, aux
         return rollout
-    rollout = make_rollout(env, n_ticks)
+    rollout = make_rollout(env, n_ticks, remat=remat)
     batched = jax.vmap(rollout, in_axes=(0, None))
     if not with_aux:
         return lambda states, params: (batched(states, params)[0], None)

@@ -32,3 +32,22 @@ def test_rollout_gradients_exist_and_descend():
     theta2 = {k: theta[k] - 0.2 * g[k] for k in theta}
     v1, _ = vg(theta2)
     assert float(v1) < float(v0), (float(v0), float(v1))
+
+
+def test_remat_rollout_same_values_and_grads():
+    """jax.checkpoint'ed rollouts: identical forward values; gradients match
+    the non-remat path (recomputation changes memory, not math)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "experiments"))
+    from tune_gains import make_loss
+
+    from rmp_tpu import envs
+    env = envs.make("two_joint/01_target_rmp_only")
+    loss_a, init, _ = make_loss(env, batch=4, n_ticks=8)
+    loss_b, _, _ = make_loss(env, batch=4, n_ticks=8, remat=True)
+    va, ga = jax.value_and_grad(loss_a)(init)
+    vb, gb = jax.value_and_grad(loss_b)(init)
+    assert abs(float(va) - float(vb)) < 1e-6
+    for k in ga:
+        np.testing.assert_allclose(float(ga[k]), float(gb[k]), rtol=1e-4)
