@@ -64,8 +64,11 @@ def main():
     goals = np.asarray(final.solved_count)
 
     # goal feasibility: uniformly sampled goals can land inside or within
-    # EE-clearance of an obstacle — unreachable by ANY policy. Report
-    # success among feasible goals too (honest controller quality metric).
+    # EE-clearance of an obstacle — unreachable by ANY policy. The RATE is
+    # an unbiased statistic of the goal distribution (iid draws) even for
+    # resampling envs; the CONDITIONED success rate is only meaningful when
+    # the env never swaps its goal (on_solved resampling would condition
+    # whole-run success on a goal drawn near the END of the run).
     goal_feasible = None
     if final.sim.obstacles is not None and final.sim.goal is not None:
         @jax.jit
@@ -105,7 +108,8 @@ def main():
                                if goal_feasible is not None else None),
         "success_rate_feasible_goals": (
             float(solved_any[goal_feasible].mean())
-            if goal_feasible is not None and goal_feasible.any() else None),
+            if goal_feasible is not None and goal_feasible.any()
+            and env.on_solved is None else None),
         "goals_reached_mean": float(goals.mean()),
         "goals_reached_max": int(goals.max()),
         "final_penetration_rate": (float((clear < -0.01).mean())

@@ -6,7 +6,7 @@ and checks the invariants that should hold FOREVER — finite state, joint
 limits respected, velocities bounded, goals still being reached late in
 the run (the controller hasn't wound up or drifted).
 
-Writes reports/soak.json. Usage:
+Writes reports/soak_<env-tag>.json. Usage:
     python experiments/soak.py [--env franka/06_cluttered_environment]
                                [--batch 4096] [--ticks 5000] [--chunk 500]
 """
@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--geometry", choices=("capsule", "hull"),
                     default="capsule")
     args = ap.parse_args()
+    if args.ticks < args.chunk:
+        args.chunk = args.ticks
+    args.ticks = (args.ticks // args.chunk) * args.chunk   # whole chunks
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
@@ -42,7 +45,8 @@ def main():
     if env.model.n_q <= 9:
         env.resolve_method = "solve"
     env.unroll_substeps = False
-    fused = args.batch % 128 == 0 and env.resolve_method == "solve"
+    fused = (args.batch % 128 == 0 and env.resolve_method == "solve"
+             and not args.cpu)
     states = envs.make_batched_reset(env, args.batch)(jax.random.PRNGKey(0))
     roll = jax.jit(envs.make_batched_rollout(env, args.chunk,
                                              fused_resolve=fused,

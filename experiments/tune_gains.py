@@ -73,7 +73,8 @@ def main():
     env = envs.make(args.env)
     env.resolve_method = "cholesky"
     env.on_solved = None          # keep the goal fixed while tuning
-    loss, theta, keys = make_loss(env, args.batch, args.ticks)
+    loss, theta, keys = make_loss(env, args.batch, args.ticks,
+                                  remat=args.remat)
     value_and_grad = jax.jit(jax.value_and_grad(loss))
 
     opt = optax.adam(args.lr)

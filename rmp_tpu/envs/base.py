@@ -226,6 +226,10 @@ def _advance(env: Env, state: EnvState, qdd):
     solved = is_solved(env, sim) if sim.goal is not None else jnp.asarray(False)
     event = solved
     if env.stuck_fn is not None:
+        if env.on_solved is None:
+            raise ValueError(
+                "Env.stuck_fn requires on_solved: the stuck signal fires "
+                "the resampling hook and is silently dead without one")
         event = solved | env.stuck_fn(state)
     if env.on_solved is not None:
         resampled = env.on_solved(dataclasses.replace(
@@ -324,7 +328,8 @@ def make_batched_reset(env: Env, batch: int):
     return reset
 
 
-def _scan_with_invariant_carry(step_fn, state, n_ticks, with_aux):
+def _scan_with_invariant_carry(step_fn, state, n_ticks, with_aux,
+                               probe_fn=None):
     """lax.scan over ticks with loop-INVARIANT state leaves hoisted out of
     the carry. Leaves the step passes through untouched (static obstacle
     sets, fixed scene data — jax forwards the identical tracer, detected
@@ -337,9 +342,11 @@ def _scan_with_invariant_carry(step_fn, state, n_ticks, with_aux):
     # invariance probe via make_jaxpr (trace only, never executed — a plain
     # probe call would run a full discarded tick on device in eager/grad
     # contexts): a leaf the step forwards untouched appears as the SAME Var
-    # in the jaxpr's outvars as in its invars
+    # in the jaxpr's outvars as in its invars. probe_fn: un-decorated step
+    # for when step_fn is wrapped (jax.checkpoint emits a single opaque
+    # remat equation that never forwards vars, which would defeat the probe)
     closed = jax.make_jaxpr(lambda leaves: jax.tree.leaves(
-        step_fn(jax.tree.unflatten(treedef, leaves))[0]))(flat)
+        (probe_fn or step_fn)(jax.tree.unflatten(treedef, leaves))[0]))(flat)
     invars, outvars = closed.jaxpr.invars, closed.jaxpr.outvars
     var_idx = [k for k in range(len(flat)) if outvars[k] is not invars[k]]
 
@@ -372,13 +379,13 @@ def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False,
     alone was 6.2% of flagship device time (trace_report --by-source), pure
     overhead for throughput consumers that only read the final state."""
     if fused_resolve:
-        step = make_batched_control_step(env)
-        if remat:
-            step = jax.checkpoint(step)
+        raw_step = make_batched_control_step(env)
+        step = jax.checkpoint(raw_step) if remat else raw_step
 
         def rollout(states: EnvState, params: tuple):
             final, aux = _scan_with_invariant_carry(
-                lambda s: step(s, params), states, n_ticks, with_aux)
+                lambda s: step(s, params), states, n_ticks, with_aux,
+                probe_fn=lambda s: raw_step(s, params))
             if not with_aux:
                 return final, None
             # match the vmapped path's aux layout: leading env axis (B, T, ...)
