@@ -349,9 +349,11 @@ def env_randomized_cluttered(n_obstacles: int = 7) -> Env:
         + _obstacle_policies(model))
 
     def on_solved(state: EnvState) -> EnvState:
-        # phase records the tick of the last goal event (solve OR timeout)
+        # phase records the tick of the last goal event (solve OR timeout);
+        # goals are rejection-sampled clear of this env's obstacles
         k, sub = jax.random.split(state.key)
-        sim = dataclasses.replace(state.sim, goal=rnd.randomize_goal(sub))
+        goal = rnd.randomize_goal(sub, obstacles=state.sim.obstacles)
+        sim = dataclasses.replace(state.sim, goal=goal)
         return dataclasses.replace(state, sim=sim, key=k, phase=state.steps)
 
     # stuck detection: reactive RMPs get stuck in local minima behind
@@ -369,7 +371,8 @@ def env_randomized_cluttered(n_obstacles: int = 7) -> Env:
         obstacles = rnd.randomize_obstacles(k_obs, n_obstacles)
         q, qd = rnd.randomize_robot_config(k_robot)
         sim = init_state(model, q=q, qd=qd, obstacles=obstacles,
-                         goal=rnd.randomize_goal(k_goal))
+                         goal=rnd.randomize_goal(k_goal,
+                                                 obstacles=obstacles))
         return env_state(sim, k_carry)
 
     return Env(name="franka/randomized_cluttered",

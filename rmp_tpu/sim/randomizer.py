@@ -102,11 +102,35 @@ def randomize_robot_config(key: Array,
 
 
 def randomize_goal(key: Array, low: Array = GOAL_CYL_LOW,
-                   high: Array = GOAL_CYL_HIGH) -> Array:
+                   high: Array = GOAL_CYL_HIGH,
+                   obstacles: ObstacleSet | None = None,
+                   clearance: float = 0.05, tries: int = 8) -> Array:
     """Goal position sampled in cylindrical coordinates
-    (reference simulation.py:543-548)."""
-    rpz = jax.random.uniform(key, (3,), minval=low, maxval=high)
-    return _cylindrical_to_cartesian(rpz)
+    (reference simulation.py:543-548).
+
+    With `obstacles`, rejection-samples BRANCHLESSLY: draws `tries`
+    candidates at once and keeps the first with at least `clearance` of
+    free space around it (falling back to the most-clear candidate if none
+    qualifies — ~0.94^8 of draws on the default spaces). The reference
+    samples blindly, which leaves ~6% of goals unreachable inside obstacle
+    clearance (measured, experiments/evaluate.py goal_feasible_rate)."""
+    rpz = jax.random.uniform(key, (tries, 3), minval=jnp.asarray(low),
+                             maxval=jnp.asarray(high))
+    cand = _cylindrical_to_cartesian(rpz)                 # (tries, 3)
+    if obstacles is None:
+        return cand[0]
+    # min point-to-capsule distance per candidate
+    from rmp_tpu.sim.collision import capsule_capsule_query
+    _, _, _, d = capsule_capsule_query(
+        cand[:, None], cand[:, None], jnp.zeros((tries, 1)),
+        obstacles.p0[None], obstacles.p1[None], obstacles.radius[None])
+    clear = jnp.min(d, axis=-1)                           # (tries,)
+    ok = clear >= clearance
+    # first qualifying candidate, else the most-clear one
+    first = ok & (jnp.cumsum(ok.astype(jnp.int32)) <= 1)
+    fallback = jnp.arange(tries) == jnp.argmax(clear)
+    pick = jnp.where(jnp.any(ok), first, fallback)
+    return jnp.sum(jnp.where(pick[:, None], cand, 0.0), axis=0)
 
 
 class SceneRandomizer:

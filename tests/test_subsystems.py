@@ -191,3 +191,21 @@ def test_multiprocess_distributed_rollout():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"worker {pid}: ok" in out, out
+
+
+def test_randomize_goal_clear_of_obstacles():
+    """Obstacle-aware goal sampling keeps goals outside obstacle clearance
+    (branchless rejection over a fixed candidate batch)."""
+    import numpy as np
+
+    from rmp_tpu.sim import randomizer as rnd
+    obs = rnd.randomize_obstacles(jax.random.PRNGKey(0), 7)
+    from rmp_tpu.sim.collision import capsule_capsule_query
+    clear_count = 0
+    for t in range(64):
+        g = rnd.randomize_goal(jax.random.PRNGKey(t), obstacles=obs)
+        _, _, _, d = capsule_capsule_query(
+            g[None], g[None], jnp.zeros(1), obs.p0, obs.p1, obs.radius)
+        clear_count += bool(jnp.min(d) >= 0.05)
+    # blind sampling gives ~94% feasible; rejection should be ~100%
+    assert clear_count >= 62
