@@ -411,3 +411,17 @@ def test_take_row_matches_gather_in_range():
     batched = jax.vmap(lambda i: take_row(table, i))(idxs)
     np.testing.assert_array_equal(np.asarray(batched),
                                   np.asarray(table[idxs]))
+
+
+def test_stuck_fn_requires_on_solved():
+    """stuck_fn without on_solved raises instead of being silently dead."""
+    import dataclasses as dc
+
+    import pytest as _pytest
+    env = envs.make("franka/01_target_rmp_only")
+    env = dc.replace(env, on_solved=None,
+                     stuck_fn=lambda st: jnp.asarray(True))
+    states = envs.make_batched_reset(env, 2)(jax.random.PRNGKey(0))
+    with _pytest.raises(ValueError, match="stuck_fn requires on_solved"):
+        jax.jit(envs.make_batched_rollout(env, 2))(states,
+                                                   env.gather_params())

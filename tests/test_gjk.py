@@ -257,3 +257,20 @@ def test_two_joint_hull_mode():
     f, _ = jax.jit(envs.make_batched_rollout(env, 5))(states,
                                                       env.gather_params())
     assert np.isfinite(np.asarray(f.sim.q)).all()
+
+
+def test_hulls_for_dual_alias(panda_hulls):
+    """hulls_for resolves dual-Panda links through the L_/R_ prefix alias
+    into the single-Panda npz asset."""
+    from rmp_tpu.models import robots
+    from rmp_tpu.models.hulls import hulls_for
+    dual = robots.dual_panda()
+    hv = hulls_for(dual)
+    assert hv is not None
+    assert hv.shape[0] == len(dual.collision_frames)
+    # L_ and R_ copies of the same link share the same local hull table
+    single, _ = panda_hulls
+    row = {dual.link_names[f]: i
+           for i, f in enumerate(dual.collision_frames)}
+    np.testing.assert_array_equal(hv[row["L_panda_hand"]],
+                                  hv[row["R_panda_hand"]])
