@@ -7,26 +7,33 @@ panda_hulls.npz) instead of a capsule fit, and obstacle cylinders use their
 exact support function instead of a capsule approximation.
 
 TPU-first design:
-  * the solver is Gilbert's support-point descent (Frank-Wolfe on the
-    Minkowski difference) with a FIXED iteration count under `lax.scan` —
-    branchless, static-shaped, vmappable over (batch, link, obstacle) —
-    instead of the classic CPU GJK's data-dependent simplex case analysis;
-  * every iteration is a max-over-vertices dot product (VPU multiply-reduce)
-    plus a handful of 3-vectors — no gathers, no dynamic shapes;
-  * witness points on both shapes ride along as convex combinations, so the
+  * simplex GJK with a FIXED 4-slot simplex and FIXED iteration count under
+    `lax.scan` — branchless, static-shaped, vmappable over (batch, link,
+    obstacle) — instead of the classic CPU GJK's data-dependent simplex
+    case analysis (the Johnson subalgorithm evaluates vertex subsets and
+    selects by where-chain; newest-support-in-slot-0 rotation halves the
+    in-loop subset work);
+  * every iteration is a max-over-vertices support reduce (one variadic
+    lax.reduce on TPU) plus scalar simplex algebra — no gathers, no
+    dynamic shapes, no lax.linalg on tiny systems (explicit Cramer);
+  * witness points on both shapes ride along per simplex slot, so the
     query returns the same (point_on_A, point_on_B, normal, distance) tuple
     as the capsule queries (sim/collision.py) and PyBullet.
+  (A plain Frank-Wolfe descent was the first implementation — sublinear
+  zigzag left a 20 mm accuracy tail; the simplex solver is exact on
+  polytope contacts.)
 
-The descent solves  min_{x in A ⊖ B} |x|  and converges to the separation
+The solver minimizes  |x| over x in A ⊖ B  and converges to the separation
 distance when the shapes are disjoint. On overlap the minimum is 0 and the
 normal degenerates — callers fall back to the capsule query there (the
 hybrid in sim/collision.robot_obstacle_distances_hull), which is exactly
 the regime where the capsule penetration depth is the better-behaved
 surrogate anyway.
 
-Accuracy: the Frank-Wolfe gap  g = x·(x - s)/|x|  certifies the result
-(|x| - d* <= g). 64 iterations give sub-0.1 mm error on the Panda hull /
-scene-cylinder queries (tests/test_gjk.py); iterations are a static arg.
+Accuracy: the support gap  g = x·(x - s)/|x|  certifies the result
+(|x| - d* <= g). 10 iterations measure max 0.21 mm vs a 32-iteration
+reference on the randomized Panda-hull workload (tests/test_gjk.py);
+iterations are a static arg.
 """
 from __future__ import annotations
 
