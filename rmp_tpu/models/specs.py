@@ -415,11 +415,9 @@ UR5_SPEC = RobotSpec(
 )
 
 
-def make_dual_spec(spec: RobotSpec,
-                   offset_a=(0.0, 0.45, 0.0), offset_b=(0.0, -0.45, 0.0),
-                   yaw_a: float = 0.0, yaw_b: float = 0.0,
-                   prefix_a: str = "L_", prefix_b: str = "R_") -> RobotSpec:
-    """Compose TWO copies of a robot spec into one kinematic tree: a 'world'
+def make_multi_spec(spec: RobotSpec, offsets, yaws, prefixes,
+                    name: str | None = None) -> RobotSpec:
+    """Compose N copies of a robot spec into one kinematic tree: a 'world'
     root link with fixed base-mount joints placing each copy at its offset/
     yaw. The result is an ordinary single-root spec, so FK, dynamics,
     collision, policies, and sharding all apply unchanged — multi-robot
@@ -428,19 +426,25 @@ def make_dual_spec(spec: RobotSpec,
     child_names = {j.child for j in spec.joints}
     root = next(l.name for l in spec.links if l.name not in child_names)
 
-    def clone(prefix, offset, yaw):
-        links = tuple(dataclasses.replace(l, name=prefix + l.name)
-                      for l in spec.links)
-        joints = tuple(dataclasses.replace(
-            j, name=prefix + j.name, parent=prefix + j.parent,
-            child=prefix + j.child) for j in spec.joints)
+    links: tuple = (LinkSpec("world"),)
+    joints: tuple = ()
+    for prefix, offset, yaw in zip(prefixes, offsets, yaws):
+        links = links + tuple(dataclasses.replace(l, name=prefix + l.name)
+                              for l in spec.links)
         mount = JointSpec(prefix + "base_mount", "fixed", "world",
                           prefix + root, xyz=tuple(offset),
                           rpy=(0.0, 0.0, yaw))
-        return links, (mount,) + joints
+        joints = joints + (mount,) + tuple(dataclasses.replace(
+            j, name=prefix + j.name, parent=prefix + j.parent,
+            child=prefix + j.child) for j in spec.joints)
+    return RobotSpec(name=name or f"{spec.name}_x{len(prefixes)}",
+                     links=links, joints=joints)
 
-    la, ja = clone(prefix_a, offset_a, yaw_a)
-    lb, jb = clone(prefix_b, offset_b, yaw_b)
-    return RobotSpec(name=spec.name + "_dual",
-                     links=(LinkSpec("world"),) + la + lb,
-                     joints=ja + jb)
+
+def make_dual_spec(spec: RobotSpec,
+                   offset_a=(0.0, 0.45, 0.0), offset_b=(0.0, -0.45, 0.0),
+                   yaw_a: float = 0.0, yaw_b: float = 0.0,
+                   prefix_a: str = "L_", prefix_b: str = "R_") -> RobotSpec:
+    """Two-robot special case of make_multi_spec (the dual-Panda envs)."""
+    return make_multi_spec(spec, (offset_a, offset_b), (yaw_a, yaw_b),
+                           (prefix_a, prefix_b), name=spec.name + "_dual")

@@ -207,3 +207,33 @@ def test_make_dual_spec_composition():
     lim_s = dict(zip(single.motor_names, np.asarray(single.q_lower)))
     for name, lo in lim.items():
         assert lo == lim_s[name[2:]]
+
+
+def test_make_multi_spec_three_arms():
+    """N-robot composition: three Pandas on one tree, FK of each copy equals
+    the single-arm FK under its own base transform."""
+    import numpy as np
+
+    from rmp_tpu.models import robots
+    from rmp_tpu.models.kinematics import fk_all
+    from rmp_tpu.models.specs import PANDA_SPEC, build_model, make_multi_spec
+    spec = make_multi_spec(
+        PANDA_SPEC,
+        offsets=((0.6, 0, 0), (-0.3, 0.52, 0), (-0.3, -0.52, 0)),
+        yaws=(np.pi, -np.pi / 3, np.pi / 3),
+        prefixes=("A_", "B_", "C_"))
+    m = build_model(spec)
+    single = robots.franka_panda()
+    assert m.n_q == 3 * single.n_q
+    q = np.zeros(m.n_q, np.float32)
+    T = np.asarray(fk_all(m, jnp.asarray(q)), np.float64)
+    Ts = np.asarray(fk_all(single, jnp.zeros(single.n_q)), np.float64)
+    ee_s = Ts[single.frame_index("panda_grasptarget_hand")][:3, 3]
+    for prefix, off, yaw in zip(("A_", "B_", "C_"),
+                                ((0.6, 0, 0), (-0.3, 0.52, 0),
+                                 (-0.3, -0.52, 0)),
+                                (np.pi, -np.pi / 3, np.pi / 3)):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        ee = T[m.frame_index(prefix + "panda_grasptarget_hand")][:3, 3]
+        np.testing.assert_allclose(ee, R @ ee_s + np.asarray(off), atol=1e-5)
