@@ -237,3 +237,33 @@ def test_make_multi_spec_three_arms():
         R = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]])
         ee = T[m.frame_index(prefix + "panda_grasptarget_hand")][:3, 3]
         np.testing.assert_allclose(ee, R @ ee_s + np.asarray(off), atol=1e-5)
+
+
+def test_dual_spec_urdf_roundtrip():
+    """Composed multi-robot specs survive URDF export -> generic parse with
+    bit-identical FK for every frame (parser and composer agree on the
+    world-rooted tree; motor order mapped by name)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from rmp_tpu.models.kinematics import fk_all
+    from rmp_tpu.models.specs import (PANDA_SPEC, build_model, make_dual_spec,
+                                      write_urdf)
+    from rmp_tpu.models.urdf import parse_urdf
+    spec = make_dual_spec(PANDA_SPEC)
+    m1 = build_model(spec)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "dual.urdf")
+        write_urdf(spec, path)
+        m2 = parse_urdf(path)
+    q = np.random.default_rng(0).uniform(-1, 1, m1.n_q).astype(np.float32)
+    qmap = [m1.motor_names.index(n) for n in m2.motor_names]
+    T1 = np.asarray(fk_all(m1, jnp.asarray(q)))
+    T2 = np.asarray(fk_all(m2, jnp.asarray(q[qmap])))
+    f1 = {m1.frame_names[i]: T1[i] for i in range(m1.n_frames)}
+    f2 = {m2.frame_names[i]: T2[i] for i in range(m2.n_frames)}
+    assert set(f1) == set(f2)
+    for k in f1:
+        np.testing.assert_array_equal(f1[k], f2[k])
