@@ -22,6 +22,7 @@ REGISTRY = {
     "franka/randomized_cluttered": franka.env_randomized_cluttered,
     "franka/pose_target": franka.env_pose_target,
     "franka/moving_obstacles": franka.env_moving_obstacles,
+    "franka/moving_goal": franka.env_moving_goal,
     "dual_panda/handover": dual.env_handover,
     "ur5/01_target_reaching": ur5.env_01_target_reaching,
     "ur5/02_obstacle_avoidance": ur5.env_02_obstacle_avoidance,

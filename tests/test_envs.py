@@ -425,3 +425,22 @@ def test_stuck_fn_requires_on_solved():
     with _pytest.raises(ValueError, match="stuck_fn requires on_solved"):
         jax.jit(envs.make_batched_rollout(env, 2))(states,
                                                    env.gather_params())
+
+
+@pytest.mark.slow
+def test_moving_goal_tracking():
+    """franka/moving_goal: the reactive stack locks onto the orbiting
+    target — late-run EE tracking error under 2 cm at 6 cm/s target
+    speed (measured steady state ~7 mm)."""
+    from rmp_tpu.models import kinematics as K
+    env = envs.make("franka/moving_goal")
+    states = envs.make_batched_reset(env, 2)(jax.random.PRNGKey(0))
+    final, aux = jax.jit(envs.make_batched_rollout(env, 150))(
+        states, env.gather_params())
+    m = env.model
+    g = np.asarray(final.sim.goal)
+    for e in range(2):
+        ee = K.fk_frame(m, jnp.asarray(np.asarray(final.sim.q)[e]),
+                        m.frame_index("panda_grasptarget_hand"))[:3, 3]
+        assert float(jnp.linalg.norm(ee - g[e])) < 0.02
+    assert (np.asarray(final.solved_count) == 1).all()
