@@ -422,8 +422,7 @@ def env_moving_goal(radius: float = 0.15, omega: float = 0.4,
             [jnp.zeros_like(t), jnp.cos(omega * t), jnp.sin(omega * t)])
 
     def update_scene(sim):
-        import dataclasses as dc
-        return dc.replace(sim, goal=goal_at(sim.t))
+        return dataclasses.replace(sim, goal=goal_at(sim.t))
 
     def reset(key):
         sim = init_state(model, q=Q_READY, goal=np.asarray(

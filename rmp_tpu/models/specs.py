@@ -423,6 +423,11 @@ def make_multi_spec(spec: RobotSpec, offsets, yaws, prefixes,
     collision, policies, and sharding all apply unchanged — multi-robot
     scenes are a SPEC transform, not a framework feature (capability beyond
     the reference, which is single-robot throughout)."""
+    offsets, yaws, prefixes = tuple(offsets), tuple(yaws), tuple(prefixes)
+    if not (len(offsets) == len(yaws) == len(prefixes)):
+        raise ValueError("offsets/yaws/prefixes must have equal lengths")
+    if len(set(prefixes)) != len(prefixes):
+        raise ValueError(f"duplicate prefixes: {prefixes}")
     child_names = {j.child for j in spec.joints}
     root = next(l.name for l in spec.links if l.name not in child_names)
 

@@ -110,15 +110,20 @@ def randomize_goal(key: Array, low: Array = GOAL_CYL_LOW,
 
     With `obstacles`, rejection-samples BRANCHLESSLY: draws `tries`
     candidates at once and keeps the first with at least `clearance` of
-    free space around it (falling back to the most-clear candidate if none
-    qualifies — ~0.94^8 of draws on the default spaces). The reference
-    samples blindly, which leaves ~6% of goals unreachable inside obstacle
-    clearance (measured, experiments/evaluate.py goal_feasible_rate)."""
+    free space around it, falling back to the most-clear candidate in the
+    (~0.06^tries ~ 1e-10) event that none qualifies. The reference samples
+    blindly, which leaves ~6% of goals unreachable inside obstacle
+    clearance (measured, experiments/evaluate.py goal_feasible_rate).
+
+    Without obstacles the single-draw RNG stream is preserved (same goals
+    for the same key as before this feature existed)."""
+    if obstacles is None or obstacles.count == 0:
+        rpz = jax.random.uniform(key, (3,), minval=jnp.asarray(low),
+                                 maxval=jnp.asarray(high))
+        return _cylindrical_to_cartesian(rpz)
     rpz = jax.random.uniform(key, (tries, 3), minval=jnp.asarray(low),
                              maxval=jnp.asarray(high))
     cand = _cylindrical_to_cartesian(rpz)                 # (tries, 3)
-    if obstacles is None:
-        return cand[0]
     # min point-to-capsule distance per candidate
     from rmp_tpu.sim.collision import capsule_capsule_query
     _, _, _, d = capsule_capsule_query(
