@@ -21,6 +21,11 @@ import jax.numpy as jnp
 
 
 def main():
+    # RMP_BENCH_CPU=1: force the CPU backend (for contract tests / machines
+    # without the TPU). Must be jax.config, not the JAX_PLATFORMS env var —
+    # the axon plugin ignores the env override (CLAUDE.md gotcha).
+    if os.environ.get("RMP_BENCH_CPU", "0") == "1":
+        jax.config.update("jax_platforms", "cpu")
     # Persistent compilation cache is OFF by default (RMP_BENCH_CACHE=1 to
     # enable): with scanned substeps the whole program builds in ~20-30s
     # (trace+lower ~18s, XLA ~4s), while persisting/loading the executable

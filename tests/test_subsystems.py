@@ -209,3 +209,30 @@ def test_randomize_goal_clear_of_obstacles():
         clear_count += bool(jnp.min(d) >= 0.05)
     # blind sampling gives ~94% feasible; rejection should be ~100%
     assert clear_count >= 62
+
+
+@pytest.mark.slow
+def test_bench_json_contract():
+    """bench.py prints exactly ONE JSON line with the driver's required
+    keys (runs a tiny CPU config: unfused, 8 envs x 2 ticks)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    env = dict(os.environ, RMP_BENCH_BATCH="8", RMP_BENCH_TICKS="2",
+               RMP_BENCH_REPS="1", RMP_BENCH_CHAIN="1", RMP_BENCH_FUSED="0",
+               RMP_BENCH_CPU="1")   # jax.config CPU force -- the
+    # JAX_PLATFORMS env var is IGNORED by the axon plugin (verified: the
+    # subprocess grabbed the real TPU and held it for minutes)
+    out = subprocess.run([sys.executable, os.path.join(root, "bench.py")],
+                         capture_output=True, text=True, env=env, cwd=root,
+                         timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, lines
+    r = json.loads(lines[0])
+    for k in ("metric", "value", "unit", "vs_baseline"):
+        assert k in r
+    assert r["metric"] == "rmp_control_steps_per_sec_per_chip"
+    assert r["value"] > 0
