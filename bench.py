@@ -54,7 +54,11 @@ def main():
     env = envs.make("franka/06_cluttered_environment")
     # RMP_BENCH_GEOMETRY=hull benches the exact mesh-convex-hull GJK
     # collision mode (sub-mm distance parity; ~4x the collision-query cost)
-    env.collision_geometry = os.environ.get("RMP_BENCH_GEOMETRY", "capsule")
+    geometry = os.environ.get("RMP_BENCH_GEOMETRY", "capsule")
+    if geometry not in ("capsule", "hull"):
+        sys.exit(f"RMP_BENCH_GEOMETRY must be 'capsule' or 'hull', "
+                 f"got {geometry!r}")
+    env.collision_geometry = geometry
     # trace-time-unrolled pivoted-LU resolve: identical to pinv for
     # invertible systems, safe for the indefinite metrics the velocity-cap
     # band can produce, ~20x faster than lax.linalg at n=9 (the fused Pallas
@@ -98,6 +102,7 @@ def main():
         "metric": "rmp_control_steps_per_sec_per_chip",
         "value": round(control_steps_per_sec, 1),
         "unit": "control_steps/s/chip (franka cluttered, "
+                f"{geometry} geometry, "
                 f"{batch} envs, {ticks} ticks x{chain} chained; "
                 f"compile {compile_s:.1f}s; "
                 f"platform {jax.devices()[0].platform})",

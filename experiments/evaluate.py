@@ -63,12 +63,26 @@ def main():
     solved_any = np.asarray(jnp.any(aux["solved"], axis=1))
     goals = np.asarray(final.solved_count)
 
+    # First-goal outcome per env: under on_solved resampling, whole-run
+    # success mixes goals drawn mid-run into the statistic. aux["resample"]
+    # marks every tick the resampling hook fired (solve OR stuck-timeout);
+    # the FIRST such event decides the first goal's fate — solved there
+    # means the initial goal was reached before any swap. Envs with no
+    # event within the horizon left their first goal unsolved.
+    if "resample" in aux:
+        sol = np.asarray(aux["solved"])
+        ev = np.asarray(aux["resample"])
+        has_ev = ev.any(axis=1)
+        first_ev = ev.argmax(axis=1)
+        first_goal_solved = has_ev & sol[np.arange(len(sol)), first_ev]
+    else:
+        first_goal_solved = solved_any
+
     # goal feasibility: uniformly sampled goals can land inside or within
-    # EE-clearance of an obstacle — unreachable by ANY policy. The RATE is
-    # an unbiased statistic of the goal distribution (iid draws) even for
-    # resampling envs; the CONDITIONED success rate is only meaningful when
-    # the env never swaps its goal (on_solved resampling would condition
-    # whole-run success on a goal drawn near the END of the run).
+    # EE-clearance of an obstacle — unreachable by ANY policy. Computed on
+    # the INITIAL state so it describes the same goals whose outcome
+    # first_goal_solved records (the rate is an unbiased statistic of the
+    # goal distribution either way — iid draws).
     goal_feasible = None
     if final.sim.obstacles is not None and final.sim.goal is not None:
         @jax.jit
@@ -82,7 +96,7 @@ def main():
             _, _, _, d = capsule_capsule_query(
                 p[None], p[None], jnp.zeros(1), obs.p0, obs.p1, obs.radius)
             return d
-        goal_feasible = np.asarray(goal_clear(final.sim)) > 0.03
+        goal_feasible = np.asarray(goal_clear(states.sim)) > 0.03
 
     clearance_query = (robot_obstacle_distances_hull
                        if args.geometry == "hull"
@@ -106,10 +120,10 @@ def main():
         "success_rate": float(solved_any.mean()),
         "goal_feasible_rate": (float(goal_feasible.mean())
                                if goal_feasible is not None else None),
+        "first_goal_success_rate": float(first_goal_solved.mean()),
         "success_rate_feasible_goals": (
-            float(solved_any[goal_feasible].mean())
-            if goal_feasible is not None and goal_feasible.any()
-            and env.on_solved is None else None),
+            float(first_goal_solved[goal_feasible].mean())
+            if goal_feasible is not None and goal_feasible.any() else None),
         "goals_reached_mean": float(goals.mean()),
         "goals_reached_max": int(goals.max()),
         "final_penetration_rate": (float((clear < -0.01).mean())

@@ -249,6 +249,12 @@ def _advance(env: Env, state: EnvState, qdd):
                 state.solved_count, solved.astype(jnp.int32)))
     aux = dict(solved=solved, qdd=qdd,
                ee=ee_position(env, sim) if sim.goal is not None else None)
+    if env.on_solved is not None:
+        # resample-event flag: True when on_solved fired this tick (solve
+        # OR stuck-timeout). Lets consumers reconstruct per-goal outcomes —
+        # in particular whether the FIRST goal was solved before any
+        # resample (evaluate.py's feasibility-conditioned success).
+        aux["resample"] = event
     return state, aux
 
 
@@ -312,13 +318,16 @@ def make_rollout(env: Env, n_ticks: int, remat: bool = False):
     the per-tick carry and recompute tick internals on the backward pass —
     activation memory drops from O(ticks x tick-graph) to O(ticks x state),
     trading one extra forward evaluation per tick."""
-    step = make_control_step(env)
-    if remat:
-        step = jax.checkpoint(step)
+    raw_step = make_control_step(env)
+    step = jax.checkpoint(raw_step) if remat else raw_step
 
     def rollout(state: EnvState, params: tuple):
+        # probe with the UN-checkpointed step: jax.checkpoint emits one
+        # opaque remat equation that never forwards vars, which would make
+        # the invariance probe see every leaf as varying (hoisting lost)
         return _scan_with_invariant_carry(
-            lambda s: step(s, params), state, n_ticks, True)
+            lambda s: step(s, params), state, n_ticks, True,
+            probe_fn=lambda s: raw_step(s, params))
     return rollout
 
 

@@ -14,8 +14,11 @@ p.getClosestPoints) with two interchangeable link geometries:
 
 Every query returns the same tuple PyBullet does: (point on link surface,
 point on obstacle surface, normal on obstacle pointing toward the link,
-signed distance). All functions are branchless, differentiable, and
-broadcast over leading batch axes.
+signed distance). All functions are branchless and broadcast over leading
+batch axes. The CAPSULE queries are additionally differentiable end-to-end;
+the HULL/GJK queries are forward-only on TPU (ops/gjk.support_hull lowers
+to a variadic lax.reduce with no autodiff rule there — gradient consumers
+such as gain tuning must use collision_geometry='capsule').
 """
 from __future__ import annotations
 
@@ -244,7 +247,13 @@ def robot_obstacle_distances_hull(model: KinematicModel, T_all: Array,
     Hybrid near contact: where the hull query reports <=0.5 mm clearance
     (touching or penetrating — the regime where the descent's normal
     degenerates) the capsule result is used instead, which also supplies
-    PyBullet-style penetration depths.
+    PyBullet-style penetration depths. NOTE the handoff is a step, not a
+    blend: a pair crossing the 0.5 mm band jumps from hull to capsule
+    values, and the jump magnitude is bounded by the CAPSULE-FIT error
+    (~1 cm worst case, reports/collision_mesh_error.json) — not by the
+    band width. No policy chatter has been observed (repulsion saturates
+    well before 0.5 mm); if it ever is, lerp the two results over a 0-2 mm
+    band here.
     """
     from rmp_tpu.ops import gjk
 
