@@ -126,19 +126,22 @@ def _post_chain(post, T_blk, Td_blk, Jcols, c_blk, ctx):
 
 
 def fk_bundle(policies, q, qd):
-    """{id(model): fk_derivatives(model, q, qd)} for every distinct FK model
-    under `policies` — the per-tick closed-form FK derivative sweep. Callers
-    that also need plain world transforms at the same q (distance contexts,
-    solved checks) should reuse bundle[mid][0].reshape(-1, 4, 4) instead of
-    a second fk_all: the duplicate FK measured ~8% of flagship device time."""
-    from rmp_tpu.models.fk_derivatives import fk_derivatives
+    """{id(model): FkDerivatives(model, q, qd)} for every distinct FK model
+    under `policies` — the shared closed-form FK recursion with LAZY
+    per-frame row emission (full 16-row or translation-only 3-row blocks,
+    models/fk_derivatives.FkDerivatives) so consumers stack exactly the
+    rows they use. Callers that also need plain world transforms at the
+    same q (distance contexts, solved checks) should stack bundle[mid].T16
+    instead of a second fk_all: the duplicate FK measured ~8% of flagship
+    device time."""
+    from rmp_tpu.models.fk_derivatives import FkDerivatives
 
     fk_models: dict[int, Any] = {}
     for p in policies:
         tmap = p.taskmap
         if getattr(tmap, "fk_rooted", False):
             fk_models.setdefault(id(tmap.model), tmap.model)
-    return {mid: fk_derivatives(m, q, qd) for mid, m in fk_models.items()}
+    return {mid: FkDerivatives(m, q, qd) for mid, m in fk_models.items()}
 
 
 def _taskmap_derivatives_analytic(policies, q, qd, ctxs, fk=None):
@@ -159,14 +162,23 @@ def _taskmap_derivatives_analytic(policies, q, qd, ctxs, fk=None):
     for p, ctx in zip(policies, ctxs):
         tmap = p.taskmap
         if getattr(tmap, "fk_rooted", False):
-            T16, Td16, J16, c16 = fk[id(tmap.model)]
+            fkd = fk[id(tmap.model)]                     # FkDerivatives
             i = tmap.frame_idx
-            if isinstance(i, tuple):
-                sel = list(i)
-                blk = (T16[sel, :], Td16[sel, :], J16[sel, :, :], c16[sel, :])
+            sel = list(i) if isinstance(i, tuple) else [i]
+            # stack ONLY the rows this policy's post consumes — no
+            # all-frames (B, F, 16, n) intermediate, no device gather.
+            # Translation-only posts (position/distance chains) take the
+            # direct 3-row products (a quarter of the full-row FLOPs; the
+            # (B, L, 16, n) Jacobian stacks were the single largest
+            # flagship intermediate — these are (B, L, 3, n)).
+            if tmap.post_trans is not None:
+                rows = [fkd.trans_row(k) for k in sel]
+                post = tmap.post_trans
             else:
-                blk = (T16[i][None], Td16[i][None], J16[i][None], c16[i][None])
-            x, xd, J, c = _post_chain(tmap.post, *blk, ctx)
+                rows = [fkd.full_row(k) for k in sel]
+                post = tmap.post
+            blk = tuple(jnp.stack(z) for z in zip(*rows))
+            x, xd, J, c = _post_chain(post, *blk, ctx)
         elif getattr(tmap, "is_identity", False):
             x, xd, J, c = q[None, :], qd[None, :], eye, zeros
         else:
@@ -203,6 +215,57 @@ def policy_row_blocks(policies: Sequence[Policy], q: Array, qd: Array,
         Ws.append(geom.mm(M, J).reshape(-1, n))
         vs.append(geom.mv(M, a - c).reshape(-1))
     return Js, Ws, vs
+
+
+def policy_row_blocks_structured(policies: Sequence[Policy], q: Array,
+                                 qd: Array, params: Sequence[Any],
+                                 ctxs: Sequence[Any],
+                                 derivatives: str = "analytic", fk=None):
+    """Structure-exposing variant of policy_row_blocks: (tags, blocks) where
+    tags[i] in {'identity', 'scalar', 'dense'} and blocks[i] is
+
+      'identity': (M (n, n), v (n,))        — J == I_n, so J^T M J = M and
+                                              J^T M (a-c) = v; no J/W rows
+                                              exist at all (the eye-matmul
+                                              and its (B, n, n) J block were
+                                              pure waste)
+      'scalar':   (J (R, n), m (R,), v (R,)) — 1-D task spaces (distance
+                                              policies): M = diag-free scalar
+                                              per row, so W = m * J is formed
+                                              IN the consumer (the Pallas
+                                              kernel) instead of being
+                                              materialized to HBM
+      'dense':    (J (R, n), W (R, n), v (R,)) — general case
+
+    Consumed by ops/pallas_resolve.pullback_resolve_structured and the
+    einsum fallback in envs/base.make_batched_control_step. tags are
+    trace-static (they depend only on the policy/taskmap structure)."""
+    q = jnp.asarray(q, jnp.float32)
+    qd = jnp.asarray(qd, jnp.float32)
+    if derivatives == "jacfwd":
+        x_all, xd_all, J_all, c_all = _taskmap_derivatives_jacfwd(
+            policies, q, qd, ctxs)
+    else:
+        x_all, xd_all, J_all, c_all = _taskmap_derivatives_analytic(
+            policies, q, qd, ctxs, fk=fk)
+    n = q.shape[-1]
+    tags, blocks = [], []
+    for p, prm, ctx, x, xd, J, c in zip(policies, params, ctxs, x_all, xd_all,
+                                        J_all, c_all):
+        a, M = p.accel_metric(prm, x, xd, ctx)
+        if getattr(p.taskmap, "is_identity", False):
+            tags.append("identity")
+            blocks.append((M.reshape(n, n), geom.mv(M, a - c).reshape(-1)))
+        elif x.shape[-1] == 1:
+            tags.append("scalar")
+            m = M.reshape(-1)                        # (P,) scalar metrics
+            blocks.append((J.reshape(-1, n), m,
+                           m * (a - c).reshape(-1)))
+        else:
+            tags.append("dense")
+            blocks.append((J.reshape(-1, n), geom.mm(M, J).reshape(-1, n),
+                           geom.mv(M, a - c).reshape(-1)))
+    return tuple(tags), tuple(blocks)
 
 
 def policy_rows(policies: Sequence[Policy], q: Array, qd: Array,
@@ -243,6 +306,12 @@ def evaluate_policies(policies: Sequence[Policy], q: Array, qd: Array,
     for p, prm, ctx, x, xd, J, c in zip(policies, params, ctxs, x_all, xd_all,
                                         J_all, c_all):
         a, M = p.accel_metric(prm, x, xd, ctx)
+        if getattr(p.taskmap, "is_identity", False):
+            # J == I_n: J^T M J = M, J^T M (a-c) = M (a-c) exactly — skip
+            # the eye matmuls (identical values, fewer VPU kernels)
+            f_comb = f_comb + jnp.sum(geom.mv(M, a - c), axis=0)
+            A_comb = A_comb + jnp.sum(M, axis=0)
+            continue
         f, A = _pullback(J, M, a, c)
         f_comb = f_comb + f
         A_comb = A_comb + A

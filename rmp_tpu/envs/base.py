@@ -182,9 +182,11 @@ def _policy_inputs(env: Env, state: EnvState, params: tuple):
     if env.derivatives == "analytic":
         from rmp_tpu.core import fk_bundle
         fk = fk_bundle(policies, sim.q, sim.qd)
-        blk = fk.get(id(env.model))
-        if blk is not None:
-            T_all = blk[0].reshape(-1, 4, 4)
+        fkd = fk.get(id(env.model))
+        if fkd is not None:
+            # per-frame T16 rows; the world-transform stack for the
+            # distance context is (F, 16) = ~800 B/env (cheap)
+            T_all = jnp.stack(fkd.T16).reshape(-1, 4, 4)
     if env.context_fn is not None:
         q, qd = sim.q, sim.qd
         frame_ctx = env.context_fn(env.model, sim, T_all)
@@ -283,28 +285,52 @@ def make_batched_control_step(env: Env):
                     core.resolve(A, f, method) (pinv/cholesky stay honored
                     instead of being silently swapped for LU+ridge).
     """
-    from rmp_tpu.core import policy_row_blocks, resolve
-    from rmp_tpu.ops.pallas_resolve import pullback_resolve_blocks
+    from rmp_tpu.core import policy_row_blocks_structured, resolve
+    from rmp_tpu.ops.pallas_resolve import pullback_resolve_structured
 
     policies = env.policies
+    tag_box: list = []
 
     def rows(state: EnvState, params: tuple):
         q, qd, params_b, ctxs, fk = _policy_inputs(env, state, params)
-        return policy_row_blocks(policies, q, qd, params_b, ctxs,
-                                 derivatives=env.derivatives, fk=fk)
+        tags, blocks = policy_row_blocks_structured(
+            policies, q, qd, params_b, ctxs,
+            derivatives=env.derivatives, fk=fk)
+        # tags are trace-static (policy/taskmap structure only); capture
+        # them through the vmap trace for the consumer below
+        tag_box.clear()
+        tag_box.extend(tags)
+        return blocks
 
     def step(states: EnvState, params: tuple):
-        # batch-major per-policy row blocks; the kernel accumulates across
-        # blocks so the rows are never concatenated (7.6% of device time),
-        # with one fused transpose per block into batch-on-lanes layout
-        # (batch-minor vmap out_axes producers measured 7% slower)
-        Jb, Wb, vb = jax.vmap(rows, in_axes=(0, None))(states, params)
+        # batch-major structured per-policy blocks; the kernel accumulates
+        # across blocks so rows are never concatenated (7.6% of device
+        # time), identity-J policies seed the Gram accumulators directly
+        # (their (B, n, n) eye blocks and eye-matmuls were pure waste), and
+        # 1-D task-space blocks form W = m * J in VMEM instead of HBM.
+        # One fused transpose per block into batch-on-lanes layout
+        # (batch-minor vmap out_axes producers measured 7% slower).
+        blocks = jax.vmap(rows, in_axes=(0, None))(states, params)
+        tags = tuple(tag_box)
         if env.resolve_method == "solve":
-            qdd = pullback_resolve_blocks(Jb, Wb, vb, ridge=0.0)  # (B, n)
+            qdd = pullback_resolve_structured(tags, blocks, ridge=0.0)
         else:
-            A = sum(jnp.einsum("brn,brm->bnm", J, W)
-                    for J, W in zip(Jb, Wb))
-            f = sum(jnp.einsum("brn,br->bn", J, v) for J, v in zip(Jb, vb))
+            n = env.model.n_q
+            A = jnp.zeros((states.sim.q.shape[0], n, n), jnp.float32)
+            f = jnp.zeros((states.sim.q.shape[0], n), jnp.float32)
+            for tag, blk in zip(tags, blocks):
+                if tag == "identity":
+                    M, v = blk
+                    A = A + M
+                    f = f + v
+                elif tag == "scalar":
+                    J, m, v = blk
+                    A = A + jnp.einsum("brn,br,brm->bnm", J, m, J)
+                    f = f + jnp.einsum("brn,br->bn", J, v)
+                else:
+                    J, W, v = blk
+                    A = A + jnp.einsum("brn,brm->bnm", J, W)
+                    f = f + jnp.einsum("brn,br->bn", J, v)
             qdd = resolve(A, f, env.resolve_method)
         return jax.vmap(lambda s, a: _advance(env, s, a))(states, qdd)
     return step

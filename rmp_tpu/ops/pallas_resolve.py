@@ -162,6 +162,131 @@ def pullback_resolve_t(Jt: Array, Wt: Array, vt: Array,
     return jnp.transpose(out, (1, 0))     # (B, n)
 
 
+def _kernel_structured(*refs, n: int, ridge: float, tags: tuple):
+    """Structure-aware variant: per-block refs laid out tag-by-tag.
+
+    refs order: for each tag in `tags` — 'identity0': (A0, f0) [the
+    PRE-SUMMED identity contribution]; 'scalar': (J, m, v); 'dense':
+    (J, W, v) — then the out ref. Identity blocks seed the Gram
+    accumulators directly (A += M, f += v: J is I_n so no rows exist);
+    scalar blocks form W = m * J in VMEM and exploit the symmetry of
+    J^T diag(m) J (upper triangle + mirror, ~45% fewer reductions)."""
+    out_ref = refs[-1]
+    A = [[None] * n for _ in range(n)]
+    f = [None] * n
+
+    def add(acc, val):
+        return val if acc is None else acc + val
+
+    r = 0
+    for tag in tags:
+        if tag == "identity0":
+            A0_ref, f0_ref = refs[r], refs[r + 1]
+            r += 2
+            for i in range(n):
+                f[i] = add(f[i], f0_ref[i, :])
+                for j in range(n):
+                    A[i][j] = add(A[i][j], A0_ref[i, j, :])
+        elif tag == "scalar":
+            J_ref, m_ref, v_ref = refs[r], refs[r + 1], refs[r + 2]
+            r += 3
+            m = m_ref[:, :]                          # (R, LANES)
+            Ji = [J_ref[i, :, :] for i in range(n)]
+            for i in range(n):
+                f[i] = add(f[i], jnp.sum(Ji[i] * v_ref[:, :], axis=0))
+                Jmi = Ji[i] * m
+                for j in range(i, n):
+                    a = jnp.sum(Jmi * Ji[j], axis=0)
+                    A[i][j] = add(A[i][j], a)
+                    if j > i:
+                        A[j][i] = add(A[j][i], a)
+        else:                                        # dense
+            J_ref, W_ref, v_ref = refs[r], refs[r + 1], refs[r + 2]
+            r += 3
+            for i in range(n):
+                Ji = J_ref[i, :, :]
+                f[i] = add(f[i], jnp.sum(Ji * v_ref[:, :], axis=0))
+                for j in range(n):
+                    A[i][j] = add(A[i][j], jnp.sum(Ji * W_ref[j, :, :],
+                                                   axis=0))
+
+    x = _lu_solve_lanes(A, f, n, ridge)
+    for i in range(n):
+        out_ref[i, :] = x[i]
+
+
+def pullback_resolve_structured(tags, blocks, ridge: float = 0.0) -> Array:
+    """q̈ from structured per-policy blocks (core.policy_row_blocks_structured
+    with a leading batch axis on every array).
+
+    tags[i]/blocks[i]:
+      'identity': (M (B, n, n), v (B, n))
+      'scalar':   (J (B, R, n), m (B, R), v (B, R))
+      'dense':    (J (B, R, n), W (B, R, n), v (B, R))
+
+    All identity blocks are summed OUTSIDE the kernel (XLA fuses the adds
+    into the producers) into one (A0, f0) seed; scalar blocks never
+    materialize W = m * J to HBM. vs the unstructured 3-identity +
+    1-scalar + 1-dense flagship layout this roughly halves the kernel's
+    HBM input traffic."""
+    first = blocks[0][0]
+    B = first.shape[0]
+    n = blocks[0][0].shape[-1] if tags[0] != "identity" else first.shape[-1]
+    assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
+
+    A0 = f0 = None
+    rest_tags, rest = [], []
+    for tag, blk in zip(tags, blocks):
+        if tag == "identity":
+            M, v = blk
+            A0 = M if A0 is None else A0 + M
+            f0 = v if f0 is None else f0 + v
+        else:
+            rest_tags.append(tag)
+            rest.append(blk)
+
+    kernel_tags, inputs, in_specs = [], [], []
+
+    def mat_spec(Rb):
+        return pl.BlockSpec((n, Rb, LANES), lambda b: (0, 0, b),
+                            memory_space=pltpu.VMEM)
+
+    def vec_spec(Rb):
+        return pl.BlockSpec((Rb, LANES), lambda b: (0, b),
+                            memory_space=pltpu.VMEM)
+
+    if A0 is not None:
+        kernel_tags.append("identity0")
+        inputs += [jnp.transpose(A0, (1, 2, 0)),     # (n, n, B)
+                   jnp.transpose(f0, (1, 0))]        # (n, B)
+        in_specs += [mat_spec(n), vec_spec(n)]
+    for tag, blk in zip(rest_tags, rest):
+        kernel_tags.append(tag)
+        if tag == "scalar":
+            J, m, v = blk
+            Rb = J.shape[1]
+            inputs += [jnp.transpose(J, (2, 1, 0)), jnp.transpose(m, (1, 0)),
+                       jnp.transpose(v, (1, 0))]
+            in_specs += [mat_spec(Rb), vec_spec(Rb), vec_spec(Rb)]
+        else:
+            J, W, v = blk
+            Rb = J.shape[1]
+            inputs += [jnp.transpose(J, (2, 1, 0)),
+                       jnp.transpose(W, (2, 1, 0)), jnp.transpose(v, (1, 0))]
+            in_specs += [mat_spec(Rb), mat_spec(Rb), vec_spec(Rb)]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_structured, n=n, ridge=ridge,
+                          tags=tuple(kernel_tags)),
+        grid=(B // LANES,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n, LANES), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, B), jnp.float32),
+    )(*inputs)
+    return jnp.transpose(out, (1, 0))     # (B, n)
+
+
 @functools.partial(jax.jit, static_argnames=("ridge",))
 def pullback_resolve_blocks(J_blocks, W_blocks, v_blocks,
                             ridge: float = 0.0) -> Array:

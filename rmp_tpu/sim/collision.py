@@ -306,8 +306,18 @@ def robot_obstacle_distances_hull(model: KinematicModel, T_all: Array,
                              gjk.support_capsule(b0, b1, rb, d))
     else:
         sup_obs = lambda d: gjk.support_capsule(b0, b1, rb, d)
+    # WARM START from the capsule witnesses: cap_po - cap_pl is within
+    # capsule-fit error (~1 cm) of the true separating direction, vs the
+    # centroid-difference guess which can be almost orthogonal to it for
+    # long links — GJK then converges in ~half the iterations at the same
+    # accuracy (reports/collision_mesh_error_hull.json). Degenerate
+    # (penetrating/touching capsule) witnesses fall back to the centroid
+    # difference; those pairs take the capsule hybrid result anyway.
     centroid = geom.mv(R, jnp.mean(local, axis=-2)) + t   # (L, 3)
-    d0 = (obstacles.p0 + obstacles.p1)[None] / 2 - centroid[:, None]
+    d0_centroid = (obstacles.p0 + obstacles.p1)[None] / 2 - centroid[:, None]
+    d0_cap = cap_po - cap_pl
+    degenerate = jnp.sum(d0_cap * d0_cap, axis=-1, keepdims=True) < 1e-8
+    d0 = jnp.where(degenerate, d0_centroid, d0_cap)
     pl, po, n, dist, _gap = gjk.closest_points(sup_link, sup_obs, d0,
                                                iters=iters)
 
@@ -363,7 +373,11 @@ def robot_self_distances_hull(model: KinematicModel, T_all: Array,
     sup_b = posed_support(lb, Tb)
     ca = geom.mv(Ta[..., :3, :3], jnp.mean(la, axis=-2)) + Ta[..., :3, 3]
     cb = geom.mv(Tb[..., :3, :3], jnp.mean(lb, axis=-2)) + Tb[..., :3, 3]
-    pl, po, n, dist, _gap = gjk.closest_points(sup_a, sup_b, cb - ca,
+    # capsule-witness warm start (see robot_obstacle_distances_hull)
+    d0_cap = cap_po - cap_pl
+    degenerate = jnp.sum(d0_cap * d0_cap, axis=-1, keepdims=True) < 1e-8
+    d0 = jnp.where(degenerate, cb - ca, d0_cap)
+    pl, po, n, dist, _gap = gjk.closest_points(sup_a, sup_b, d0,
                                                iters=iters)
 
     near = dist <= 5e-4

@@ -61,6 +61,20 @@ class Taskmap:
     frame_idx: int | None = None
     post: Callable | None = None
     is_identity: bool = False
+    # trans_fn: variant of fn that consumes frame TRANSLATIONS (L, 3)
+    # instead of flattened 4x4s (L, 16) — declared by maps that only read
+    # the translation (to_position, the distance maps). chain() folds it
+    # into post_trans on the composite so the combine engine propagates
+    # 3-row derivative blocks instead of 16-row ones (the (B, L, 16, n)
+    # Jacobian stacks were the single largest flagship intermediate).
+    trans_fn: Callable | None = None
+    # post_trans(p3 (L, 3), ctx) -> (P, d): translation-space counterpart
+    # of `post` on chained maps (set by chain() when the head passes frames
+    # through untouched and the first tail map has trans_fn)
+    post_trans: Callable | None = None
+    # head maps (fk_frame / multi_fk_frames) whose post is the identity
+    # frame passthrough set this so chain() knows trans folding is valid
+    post_passthrough: bool = False
 
     def __call__(self, q, ctx=None):
         return self.fn(q, ctx)
@@ -91,7 +105,7 @@ def fk_frame(model: KinematicModel, frame: str | int) -> Taskmap:
         del ctx
         return kinematics.fk_frame(model, q, idx).reshape(1, 16)
     return Taskmap(fn, model=model, frame_idx=idx,
-                   post=lambda T16, ctx: T16)
+                   post=lambda T16, ctx: T16, post_passthrough=True)
 
 
 def from_function(forward_fn) -> Taskmap:
@@ -116,7 +130,7 @@ def multi_fk_frames(model: KinematicModel, frames) -> Taskmap:
         T_all = kinematics.fk_all(model, q)
         return jnp.stack([T_all[i] for i in idxs]).reshape(len(idxs), 16)
     return Taskmap(fn, model=model, frame_idx=idxs,
-                   post=lambda T16s, ctx: T16s)
+                   post=lambda T16s, ctx: T16s, post_passthrough=True)
 
 
 def frames_to_point_distance(link_field: str = "pos_on_link",
@@ -124,17 +138,21 @@ def frames_to_point_distance(link_field: str = "pos_on_link",
     """(L, 16) frames -> (L*K, 1) distances to per-(frame, pair) obstacle
     points; the grouped version of frame_to_point_distance (same frozen-offset
     trick). ctx fields are (L, K, 3) in base frame."""
-    def fn(x, ctx):
+    def dist(p, ctx):
+        # p: (L, 3) frame translations
         pos_on_link = ctx[link_field]                 # (L, K, 3)
         pos_on_obstacle = ctx[obstacle_field]         # (L, K, 3)
         L, K, _ = pos_on_link.shape
-        T = x.reshape(L, 4, 4)
-        p_joint = jnp.broadcast_to(T[:, None, :3, 3], pos_on_link.shape)
+        p_joint = jnp.broadcast_to(p[:, None, :], pos_on_link.shape)
         offset = jax.lax.stop_gradient(pos_on_link - p_joint)
         critical = p_joint + offset
         d = jnp.linalg.norm(critical - pos_on_obstacle, axis=-1)  # (L, K)
         return d.reshape(L * K, 1)
-    return Taskmap(fn)
+
+    def fn(x, ctx):
+        L = ctx[link_field].shape[0]
+        return dist(x.reshape(L, 4, 4)[:, :3, 3], ctx)
+    return Taskmap(fn, trans_fn=dist)
 
 
 def frames_relative_offsets(ctx_field: str = "relative_position") -> Taskmap:
@@ -157,7 +175,7 @@ def to_position() -> Taskmap:
     def fn(x, ctx):
         del ctx
         return x.reshape(-1, 4, 4)[:, :3, 3]
-    return Taskmap(fn)
+    return Taskmap(fn, trans_fn=lambda p, ctx: p)
 
 
 def to_euler() -> Taskmap:
@@ -219,16 +237,19 @@ def frame_to_point_distance(link_field: str = "pos_on_link",
     joint frame origin — exactly the reference's frozen-offset trick
     (taskmap.py:120-131).  ctx fields are (P, 3) in base frame.
     """
-    def fn(x, ctx):
+    def dist(p, ctx):
+        # p: (1, 3) frame translation
         pos_on_link = ctx[link_field]               # (P, 3) base frame
         pos_on_obstacle = ctx[obstacle_field]       # (P, 3) base frame
-        T = x.reshape(-1, 4, 4)
-        p_joint = jnp.broadcast_to(T[:, :3, 3], pos_on_link.shape)  # (P, 3)
+        p_joint = jnp.broadcast_to(p[:1, :], pos_on_link.shape)     # (P, 3)
         offset = jax.lax.stop_gradient(pos_on_link - p_joint)
         critical = p_joint + offset
         d = jnp.linalg.norm(critical - pos_on_obstacle, axis=-1)
         return d[:, None]
-    return Taskmap(fn)
+
+    def fn(x, ctx):
+        return dist(x.reshape(-1, 4, 4)[:, :3, 3], ctx)
+    return Taskmap(fn, trans_fn=dist)
 
 
 def chain(*maps) -> Taskmap:
@@ -256,8 +277,21 @@ def chain(*maps) -> Taskmap:
             for m in tail:
                 v = m.fn(v, ctx)
             return v
+
+        # translation-only fold: when the head passes frames through
+        # untouched and the FIRST tail map reads only translations, the
+        # composite consumes (L, 3) translation rows — the combine engine
+        # then propagates 3-row FK derivative blocks instead of 16-row ones
+        post_trans = None
+        if (head.post_passthrough and tail
+                and tail[0].trans_fn is not None):
+            def post_trans(p3, ctx):
+                v = tail[0].trans_fn(p3, ctx)
+                for m in tail[1:]:
+                    v = m.fn(v, ctx)
+                return v
         return Taskmap(fn, model=head.model, frame_idx=head.frame_idx,
-                       post=post)
+                       post=post, post_trans=post_trans)
     return Taskmap(fn)
 
 
