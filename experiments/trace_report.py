@@ -134,6 +134,30 @@ def main():
     print(f"device time {dev_total / 1e3:.2f} ms for {args.ticks} ticks x "
           f"{args.batch} envs -> {n_steps / (dev_total / 1e6):,.0f} steps/s "
           f"(device-bound estimate)")
+
+    # roofline note (VERDICT r2 #7): XLA cost analysis of the whole rollout
+    # vs v5e peaks — tells us whether remaining wins are bandwidth, compute,
+    # or per-op overhead. (Pallas kernel flops are not counted by XLA; the
+    # kernel is ~10% of device time, so the MFU figure is a mild
+    # underestimate.)
+    try:
+        ca = rollout.lower(states, params).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        bts = float(ca.get("bytes accessed", 0.0))
+        dev_s = dev_total / 1e6
+        hbm_peak = 819e9          # v5e HBM GB/s
+        vpu_peak = 197e12 / 2     # v5e bf16 MXU peak / 2 ~ fp32; VPU is far
+                                  # lower — this workload is VPU+HBM bound
+        print(f"roofline: {flops:.3e} flops, {bts:.3e} bytes accessed -> "
+              f"{flops / dev_s / 1e12:.3f} TFLOP/s "
+              f"({flops / dev_s / vpu_peak:.2%} of fp32 MXU peak), "
+              f"{bts / dev_s / 1e9:.0f} GB/s "
+              f"({bts / dev_s / hbm_peak:.1%} of HBM peak) — "
+              f"{'bandwidth' if bts / dev_s / hbm_peak > 0.5 else 'per-op overhead/latency'}"
+              f"-dominated regime")
+    except Exception as e:                       # cost analysis is advisory
+        print(f"(roofline unavailable: {e})")
     print(f"{'device op (fusion)':60s} {'us':>10s}  share")
     for name, us in totals.most_common(args.top):
         print(f"{name[:60]:60s} {us:10.0f}  {us / dev_total:6.1%}")

@@ -18,27 +18,32 @@ Array = jax.Array
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
-_SMALL = 8
+_SMALL = 8      # max contraction dim for the VPU multiply-reduce lowering
+_SMALL_OUT = 16  # max output dims for it (bounds the broadcast intermediate)
 
 
 def mm(a: Array, b: Array) -> Array:
     """Batched matmul, true fp32.
 
-    For tiny static inner dims (<= 8, e.g. the 4x4 chain products that
-    dominate this workload) the product is lowered as broadcast
+    For tiny static CONTRACTION dims (<= 8, e.g. the 4x4 chain products
+    that dominate this workload) the product is lowered as broadcast
     multiply-reduce on the VPU: XLA fuses whole chains of these into a few
     kernels, whereas tiny `dot` ops each become a separate latency-bound
     MXU dispatch (~100x slower end-to-end for the FK derivative sweep).
+    The output dims only bound the (m, k, n) broadcast intermediate — they
+    may exceed the contraction limit (r3 finding: the old `n <= 8` guard
+    sent every n_q=9-column W = M J through a batched MXU dot_general that
+    alone was 18% of flagship device time).
     """
-    if (a.shape[-1] <= _SMALL and a.shape[-2] <= _SMALL
-            and b.shape[-1] <= _SMALL):
+    if (a.shape[-1] <= _SMALL and a.shape[-2] <= _SMALL_OUT
+            and b.shape[-1] <= _SMALL_OUT):
         return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
     return jnp.matmul(a, b, precision=HIGHEST)
 
 
 def mv(a: Array, v: Array) -> Array:
     """Batched matrix-vector product, true fp32 (VPU path for tiny dims)."""
-    if a.shape[-1] <= _SMALL and a.shape[-2] <= _SMALL:
+    if a.shape[-1] <= _SMALL and a.shape[-2] <= _SMALL_OUT:
         return jnp.sum(a * v[..., None, :], axis=-1)
     return jnp.einsum("...ij,...j->...i", a, v, precision=HIGHEST)
 
