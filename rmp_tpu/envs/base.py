@@ -38,10 +38,16 @@ class EnvState:
     steps: Array          # control ticks taken (i32)
     solved_count: Array   # number of goals reached (i32)
     phase: Array          # env-specific phase/goal index (i32)
+    # temporal GJK warm start for the batched hull tier: previous-tick
+    # witness directions (L, K, 3) per env, or None outside hull rollouts.
+    # Seeded with zeros (= cold capsule-witness start) by
+    # make_batched_rollout; carried tick-to-tick so the kernel runs
+    # RMP_GJK_ITERS (warm) instead of 10 (cold) iterations.
+    gjk_warm: Array | None = None
 
     def tree_flatten(self):
         return ((self.sim, self.key, self.steps, self.solved_count,
-                 self.phase), None)
+                 self.phase, self.gjk_warm), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -166,13 +172,18 @@ def is_solved(env: Env, sim: SimState) -> Array:
     return ok
 
 
-def _policy_inputs(env: Env, state: EnvState, params: tuple):
+def _policy_inputs(env: Env, state: EnvState, params: tuple,
+                   frame_ctx: dict | None = None):
     """(q, q̇, bound params, per-policy ctxs, fk bundle) for one tick.
 
     With analytic derivatives the closed-form FK sweep (core.fk_bundle) is
     computed HERE and its world transforms feed the distance context, so the
     tick runs exactly one FK — the second fk_all inside sense() measured ~8%
-    of flagship device time before being deduplicated."""
+    of flagship device time before being deduplicated.
+
+    frame_ctx: optional PRECOMPUTED distance context (the batched hull path
+    computes it for the whole env batch with one fused Pallas GJK kernel
+    before the per-env vmap)."""
     sim = state.sim
     policies = env.policies
     if env.bind_params is not None:
@@ -187,7 +198,9 @@ def _policy_inputs(env: Env, state: EnvState, params: tuple):
             # per-frame T16 rows; the world-transform stack for the
             # distance context is (F, 16) = ~800 B/env (cheap)
             T_all = jnp.stack(fkd.T16).reshape(-1, 4, 4)
-    if env.context_fn is not None:
+    if frame_ctx is not None:
+        q, qd = sim.q, sim.qd
+    elif env.context_fn is not None:
         q, qd = sim.q, sim.qd
         frame_ctx = env.context_fn(env.model, sim, T_all)
     else:
@@ -291,8 +304,9 @@ def make_batched_control_step(env: Env):
     policies = env.policies
     tag_box: list = []
 
-    def rows(state: EnvState, params: tuple):
-        q, qd, params_b, ctxs, fk = _policy_inputs(env, state, params)
+    def rows(state: EnvState, params: tuple, frame_ctx):
+        q, qd, params_b, ctxs, fk = _policy_inputs(env, state, params,
+                                                   frame_ctx=frame_ctx)
         tags, blocks = policy_row_blocks_structured(
             policies, q, qd, params_b, ctxs,
             derivatives=env.derivatives, fk=fk)
@@ -302,6 +316,20 @@ def make_batched_control_step(env: Env):
         tag_box.extend(tags)
         return blocks
 
+    def batched_hull_ctx(states: EnvState):
+        """Whole-batch distance context via the fused Pallas GJK kernel
+        (one kernel for all B x L x K pairs — the XLA per-env scan lowering
+        was latency-bound at ~5% of HBM peak). The extra fk_all here CSEs
+        with the FkDerivatives recursion inside rows (same subexpressions
+        on the same q). Returns (ctx, warm_next): states.gjk_warm (seeded
+        by make_batched_rollout / make_batched_reset) feeds the temporal
+        GJK warm start and warm_next is carried into the next tick."""
+        from rmp_tpu.sim.data import distance_context_batched
+        T_all_b = jax.vmap(lambda q: K.fk_all(env.model, q))(states.sim.q)
+        return distance_context_batched(env.model, T_all_b,
+                                        states.sim.obstacles, "hull",
+                                        warm=states.gjk_warm)
+
     def step(states: EnvState, params: tuple):
         # batch-major structured per-policy blocks; the kernel accumulates
         # across blocks so rows are never concatenated (7.6% of device
@@ -310,7 +338,14 @@ def make_batched_control_step(env: Env):
         # 1-D task-space blocks form W = m * J in VMEM instead of HBM.
         # One fused transpose per block into batch-on-lanes layout
         # (batch-minor vmap out_axes producers measured 7% slower).
-        blocks = jax.vmap(rows, in_axes=(0, None))(states, params)
+        frame_ctx = None
+        warm_next = None
+        if (env.collision_geometry == "hull" and env.context_fn is None
+                and states.sim.obstacles is not None
+                and states.sim.q.shape[0] % 128 == 0):
+            frame_ctx, warm_next = batched_hull_ctx(states)
+        blocks = jax.vmap(rows, in_axes=(0, None, 0))(states, params,
+                                                      frame_ctx)
         tags = tuple(tag_box)
         if env.resolve_method == "solve":
             qdd = pullback_resolve_structured(tags, blocks, ridge=0.0)
@@ -332,7 +367,16 @@ def make_batched_control_step(env: Env):
                     A = A + jnp.einsum("brn,brm->bnm", J, W)
                     f = f + jnp.einsum("brn,br->bn", J, v)
             qdd = resolve(A, f, env.resolve_method)
-        return jax.vmap(lambda s, a: _advance(env, s, a))(states, qdd)
+        out, aux = jax.vmap(lambda s, a: _advance(env, s, a))(states, qdd)
+        if warm_next is not None:
+            if env.on_solved is not None:
+                # a resample moved the scene: drop to the cold capsule-
+                # witness start next tick instead of descending from a
+                # stale direction
+                warm_next = jnp.where(
+                    aux["resample"][:, None, None, None], 0.0, warm_next)
+            out = dataclasses.replace(out, gjk_warm=warm_next)
+        return out, aux
     return step
 
 
@@ -357,9 +401,32 @@ def make_rollout(env: Env, n_ticks: int, remat: bool = False):
     return rollout
 
 
+def _wants_gjk_warm(env: Env, states: EnvState) -> bool:
+    """True when the batched hull path (Pallas kernel + temporal warm
+    start) will run for these states and gjk_warm should be seeded."""
+    return (env.collision_geometry == "hull" and env.context_fn is None
+            and states.gjk_warm is None
+            and states.sim.obstacles is not None
+            and states.sim.q.ndim == 2
+            and states.sim.q.shape[0] % 128 == 0)
+
+
+def _seed_gjk_warm(env: Env, states: EnvState) -> EnvState:
+    """Zero-filled (B, L, K, 3) warm carry: zeros = cold capsule-witness
+    start (sim/collision.robot_obstacle_distances_hull_batched)."""
+    B = states.sim.q.shape[0]
+    L = len(env.model.collision_frames)
+    K_obs = states.sim.obstacles.p0.shape[1]
+    return dataclasses.replace(
+        states, gjk_warm=jnp.zeros((B, L, K_obs, 3), jnp.float32))
+
+
 def make_batched_reset(env: Env, batch: int):
     def reset(key: Array):
-        return jax.vmap(env.reset)(jax.random.split(key, batch))
+        states = jax.vmap(env.reset)(jax.random.split(key, batch))
+        if _wants_gjk_warm(env, states):
+            states = _seed_gjk_warm(env, states)
+        return states
     return reset
 
 
@@ -418,6 +485,11 @@ def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False,
         step = jax.checkpoint(raw_step) if remat else raw_step
 
         def rollout(states: EnvState, params: tuple):
+            if _wants_gjk_warm(env, states):
+                # states built outside make_batched_reset: seed here so the
+                # scan carry structure is fixed (None -> array mid-scan
+                # would be a carry-structure mismatch)
+                states = _seed_gjk_warm(env, states)
             final, aux = _scan_with_invariant_carry(
                 lambda s: step(s, params), states, n_ticks, with_aux,
                 probe_fn=lambda s: raw_step(s, params))

@@ -49,7 +49,51 @@ def _two_joint_hulls() -> dict[str, np.ndarray]:
     return {"link_1": box, "link_2": box, "link_23_cyl": cyl}
 
 
-_SYNTH_HULLS = {"TwoJointRobot": _two_joint_hulls}
+def _capsule_polytope(p0, p1, r, n_ring: int = 16) -> np.ndarray:
+    """Inner polytope approximation of a capsule (segment p0->p1, radius r):
+    per end — the pole plus rings at hemisphere latitudes 0/22.5/45/67.5°.
+    Chord deviation <= r(1-cos(11.25°)) ~ 1.9% of r both in azimuth (16
+    verts/ring) and along meridians (22.5° latitude steps): ~1.2 mm at
+    r = 0.06. An INNER approximation, so hull-mode distances can only
+    overestimate clearance by that bound."""
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    a = p1 - p0
+    norm = np.linalg.norm(a)
+    a = a / norm if norm > 1e-12 else np.asarray([0.0, 0.0, 1.0])
+    u = np.cross(a, [1.0, 0.0, 0.0])
+    if np.linalg.norm(u) < 1e-6:
+        u = np.cross(a, [0.0, 1.0, 0.0])
+    u /= np.linalg.norm(u)
+    v = np.cross(a, u)
+    ang = np.linspace(0.0, 2.0 * np.pi, n_ring, endpoint=False)
+    ring = np.outer(np.cos(ang), u) + np.outer(np.sin(ang), v)
+    pts = []
+    for p, sgn in ((p0, -1.0), (p1, 1.0)):
+        pts.append(p + sgn * r * a)                       # pole
+        for lat in (0.0, np.pi / 8, np.pi / 4, 3 * np.pi / 8):
+            pts.append(p + sgn * np.sin(lat) * r * a
+                       + np.cos(lat) * r * ring)
+    return np.concatenate([np.atleast_2d(x) for x in pts]).astype(np.float32)
+
+
+def _ur5_hulls() -> dict[str, np.ndarray]:
+    """Synthetic hulls from the UR5 capsule spec: the UR5 has no reference
+    meshes — its capsule spec IS its collision definition (models/specs.py),
+    so hull mode gets capsule-polytope inner approximations (sub-1.2 mm
+    support deviation) built per collision link."""
+    from rmp_tpu.models.specs import UR5_SPEC
+    data = {}
+    for link in UR5_SPEC.links:
+        if not link.collision:
+            continue
+        pts = [_capsule_polytope(np.asarray(c.p0), np.asarray(c.p1), c.radius)
+               for c in link.collision]
+        data[link.name] = np.concatenate(pts)
+    return data
+
+
+_SYNTH_HULLS = {"TwoJointRobot": _two_joint_hulls, "UR5": _ur5_hulls}
 
 
 def _assemble(data, model: KinematicModel) -> np.ndarray | None:

@@ -18,6 +18,8 @@ Each collision frame gets a ctx dict with the same fields Datamanager kept:
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +49,60 @@ def distance_context(model: KinematicModel, T_all: Array,
     else:
         pos_on_link, pos_on_obstacle, normal, distance = \
             robot_obstacle_distances(model, T_all, obstacles)  # (L, K, ...)
+    return _ctx_build(model, T_all,
+                      (pos_on_link, pos_on_obstacle, normal, distance))
+
+
+def distance_context_batched(model: KinematicModel, T_all_b: Array,
+                             obstacles_b: ObstacleSet,
+                             geometry: str = "capsule",
+                             warm: Array | None = None,
+                             iters: int | None = None):
+    """Batched-env distance context (leading B on every leaf).
+
+    For geometry='hull' on TPU with B % 128 == 0, the closest-point query
+    runs as ONE fused Pallas GJK kernel over the whole batch
+    (collision.robot_obstacle_distances_hull_batched) — the big hull-mode
+    win; other configurations vmap the per-env path (identical results,
+    the oracle).
+
+    warm: optional (B, L, K, 3) previous-tick witness directions
+    (temporal warm start, see the collision module); iters defaults to 10
+    cold and RMP_GJK_ITERS (4) warm. Returns (ctx, warm_next);
+    warm_next is None outside the hull path."""
+    B = T_all_b.shape[0]
+    if geometry == "hull" and B % 128 == 0:
+        from rmp_tpu.sim.collision import (
+            robot_obstacle_distances_hull,
+            robot_obstacle_distances_hull_batched)
+        if iters is None:
+            iters = 10 if warm is None else int(
+                os.environ.get("RMP_GJK_ITERS", "4"))
+
+        def kernel_path(T_b, obs_b, w):
+            return robot_obstacle_distances_hull_batched(
+                model, T_b, obs_b, iters=iters, warm=w)
+
+        def xla_path(T_b, obs_b, w):
+            del w      # the XLA oracle path always runs cold at 10 iters
+            pl_, po, n, d = jax.vmap(
+                lambda T, o: robot_obstacle_distances_hull(model, T, o))(
+                    T_b, obs_b)
+            return pl_, po, n, d, po - pl_
+        q = jax.lax.platform_dependent(T_all_b, obstacles_b, warm,
+                                       tpu=kernel_path, default=xla_path)
+    else:
+        ctx = jax.vmap(lambda T, o: distance_context(
+            model, T, o, geometry))(T_all_b, obstacles_b)
+        return ctx, None
+    ctx = jax.vmap(lambda T, qq: _ctx_build(model, T, qq))(T_all_b, q[:4])
+    return ctx, q[4]
+
+
+def _ctx_build(model: KinematicModel, T_all: Array, query):
+    """Assemble the per-frame ctx dict from closest-point query results
+    (pos_on_link, pos_on_obstacle, normal, distance), shapes (L, K, ...)."""
+    pos_on_link, pos_on_obstacle, normal, distance = query
     frames = jnp.asarray(model.collision_frames)
     T = T_all[frames]                                          # (L, 4, 4)
     R_joint_base = jnp.swapaxes(T[:, :3, :3], -1, -2)

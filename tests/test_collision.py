@@ -171,3 +171,33 @@ def test_obstacle_set_kinds_concat():
     # pytree round-trip preserves the static tags
     leaves, treedef = jax.tree.flatten(both)
     assert jax.tree.unflatten(treedef, leaves).kinds == both.kinds
+
+
+def test_ur5_hull_mode():
+    """Hull tier covers the UR5: its capsule spec IS its collision
+    definition (no reference meshes), so hulls are synthetic capsule
+    polytopes (models/hulls._ur5_hulls) — INNER approximations, distances
+    may only overestimate the capsule distance, by <= ~2 mm."""
+    from rmp_tpu.models import kinematics as K
+    from rmp_tpu.models import robots
+    from rmp_tpu.models.hulls import hulls_for
+
+    model = robots.ur5()
+    hv = hulls_for(model)
+    assert hv is not None and hv.shape[0] == len(model.collision_frames)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        q = jnp.asarray(rng.uniform(-3, 3, model.n_q), jnp.float32)
+        T_all = K.fk_all(model, q)
+        c = rng.uniform(-0.8, 0.8, 3)
+        c[2] = abs(c[2])
+        obs = C.ObstacleSet(jnp.asarray([c], jnp.float32),
+                            jnp.asarray([c + np.asarray([0, 0, 0.3])],
+                                        jnp.float32),
+                            jnp.asarray([0.05], jnp.float32))
+        _, _, _, dc = C.robot_obstacle_distances(model, T_all, obs)
+        _, _, _, dh = C.robot_obstacle_distances_hull(model, T_all, obs)
+        dc, dh = np.asarray(dc), np.asarray(dh)
+        free = dh > 1e-3                     # outside the hybrid handoff
+        assert (dh[free] >= dc[free] - 1e-4).all()      # inner approx
+        assert (dh[free] - dc[free] <= 2.5e-3).all()    # deviation bound

@@ -1,0 +1,115 @@
+"""Fused Pallas GJK kernel (ops/pallas_gjk.py) vs the XLA path oracle.
+
+The production integration (TPU, fused batched rollout) is oracle-checked
+on hardware in experiments (kernel vs ops/gjk p99 < 5e-6 m, small
+overestimate tail bounded by the 10-iteration convergence band). Here we
+verify what runs on CPU:
+
+  * the lane-array Johnson port is EXACT vs ops/gjk._johnson;
+  * the batched wrapper + ctx plumbing is equivalent to the per-env path
+    (CPU routes through the XLA implementation via platform_dependent);
+  * the kernel in interpret mode agrees with the XLA path at the
+    quantile level. NOTE interpret mode shows a rare gross-disagreement
+    tail that does NOT reproduce on real TPU hardware (hardware vs XLA
+    p99 3e-6, all large residuals are small overestimates) nor when the
+    kernel body is invoked directly — an interpret-executor artifact, so
+    the tolerance here is quantile-based.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rmp_tpu.models import kinematics as K
+from rmp_tpu.models import robots
+from rmp_tpu.models.hulls import hulls_for
+from rmp_tpu.ops import gjk
+from rmp_tpu.ops import pallas_gjk as pg
+from rmp_tpu.sim import collision as C
+from rmp_tpu.sim import randomizer as rnd
+
+
+def test_johnson_lanes_matches_oracle():
+    rng = np.random.default_rng(0)
+    Y = rng.normal(size=(4000, 4, 3)).astype(np.float32)
+    Y[::7, 1] = Y[::7, 0]           # degenerate duplicate slots
+    Y[::11, 2] = Y[::11, 3]
+    for newest in (True, False):
+        x_ref, lam_ref = gjk._johnson(jnp.asarray(Y), newest_only=newest)
+        y = [tuple(jnp.asarray(Y[:, i, c].reshape(40, 100))
+                   for c in range(3)) for i in range(4)]
+        x_l, lam_l = pg._johnson_lanes(y, newest_only=newest)
+        x_l = np.stack([np.asarray(c).reshape(-1) for c in x_l], -1)
+        lam_l = np.stack([np.asarray(c).reshape(-1) for c in lam_l], -1)
+        np.testing.assert_allclose(x_l, np.asarray(x_ref), atol=1e-5)
+        np.testing.assert_allclose(lam_l, np.asarray(lam_ref), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def randomized_batch():
+    model = robots.franka_panda()
+    if hulls_for(model) is None:
+        pytest.skip("no panda hull asset")
+    B = 128
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    def sample(key):
+        k1, k2 = jax.random.split(key)
+        obs = rnd.randomize_obstacles(k1, 2)
+        q, _ = rnd.randomize_robot_config(k2)
+        return q, obs
+
+    qs, obss = jax.vmap(sample)(keys)
+    T_all_b = jax.vmap(lambda q: K.fk_all(model, q))(qs)
+    return model, T_all_b, obss
+
+
+@pytest.mark.slow
+def test_kernel_interpret_agrees_at_quantiles(randomized_batch):
+    model, T_all_b, obss = randomized_batch
+    ref = jax.vmap(lambda T, o: C.robot_obstacle_distances_hull(
+        model, T, o))(T_all_b, obss)
+    got = C.robot_obstacle_distances_hull_batched(model, T_all_b, obss,
+                                                  interpret=True)
+    d_ref = np.asarray(ref[3])
+    d_got = np.asarray(got[3])
+    diff = np.abs(d_got - d_ref)
+    assert np.percentile(diff, 99) < 1e-4
+    assert np.median(diff) < 1e-6
+    assert (diff > 1e-3).mean() < 0.01      # interpret-artifact tail bound
+    # witnesses consistent with distances where the paths agree, outside
+    # the hybrid capsule-handoff regime (there pa/pb are capsule witnesses
+    # and dist is the min-merged signed distance — |pa-pb| != dist by
+    # design near/inside contact)
+    agree = (diff < 1e-5) & (d_got > 1e-3)
+    pa, pb = np.asarray(got[0]), np.asarray(got[1])
+    wd = np.linalg.norm(pa - pb, axis=-1)
+    np.testing.assert_allclose(wd[agree], d_got[agree], atol=1e-4)
+
+
+@pytest.mark.slow
+def test_batched_hull_step_matches_per_env_on_cpu():
+    """The fused batched step's PRE-VMAP hull context (distance_context_
+    batched + in_axes plumbing) must give the same rollout as the per-env
+    path — on CPU both route to the XLA query, so this isolates the
+    batching/ctx plumbing from the kernel itself."""
+    from rmp_tpu import envs
+    from rmp_tpu.envs import base as eb
+
+    env = envs.make("franka/06_cluttered_environment")
+    if hulls_for(env.model) is None:
+        pytest.skip("no panda hull asset")
+    env.collision_geometry = "hull"
+    env.resolve_method = "solve"
+    B = 128
+    states = envs.make_batched_reset(env, B)(jax.random.PRNGKey(0))
+    params = env.gather_params()
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        s1, aux1 = eb.make_batched_control_step(env)(states, params)
+        s2, aux2 = jax.vmap(eb.make_control_step(env),
+                            in_axes=(0, None))(states, params)
+    np.testing.assert_allclose(np.asarray(aux1["qdd"]),
+                               np.asarray(aux2["qdd"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1.sim.q), np.asarray(s2.sim.q),
+                               atol=1e-5)
