@@ -44,10 +44,20 @@ class EnvState:
     # make_batched_rollout; carried tick-to-tick so the kernel runs
     # RMP_GJK_ITERS (warm) instead of 10 (cold) iterations.
     gjk_warm: Array | None = None
+    # PROGRESS tracking for stuck detection (maintained by _advance when
+    # env.stuck_fn is set): best EE-goal distance since the last goal
+    # event, and ticks since that distance last improved by more than
+    # env.progress_eps. Catches both parked arms AND limit-cycle
+    # oscillation in a local minimum (a pure near-zero-velocity test
+    # missed oscillating envs entirely — success ~= first-goal success in
+    # the r2 sweeps, i.e. resampling almost never rescued anyone).
+    goal_best: Array | None = None     # f32, +inf after each event
+    no_progress: Array | None = None   # i32 ticks without improvement
 
     def tree_flatten(self):
         return ((self.sim, self.key, self.steps, self.solved_count,
-                 self.phase, self.gjk_warm), None)
+                 self.phase, self.gjk_warm, self.goal_best,
+                 self.no_progress), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -58,7 +68,8 @@ class EnvState:
 def env_state(sim: SimState, key: Array) -> EnvState:
     zero = jnp.zeros((), jnp.int32)
     return EnvState(sim=sim, key=key, steps=zero, solved_count=zero,
-                    phase=zero)
+                    phase=zero, goal_best=jnp.asarray(jnp.inf, jnp.float32),
+                    no_progress=zero)
 
 
 @dataclasses.dataclass
@@ -118,6 +129,9 @@ class Env:
     # randomized sweeps — reactive RMPs have local minima, and an env stuck
     # behind an obstacle would otherwise stay stuck forever)
     stuck_fn: Callable | None = None
+    # EE-goal improvement (m) that counts as progress for the
+    # EnvState.no_progress counter stuck_fn implementations consume
+    progress_eps: float = 0.01
 
     def gather_params(self) -> tuple:
         return tuple(p.params for p in self.policies)
@@ -245,6 +259,14 @@ def _advance(env: Env, state: EnvState, qdd):
             raise ValueError(
                 "Env.stuck_fn requires on_solved: the stuck signal fires "
                 "the resampling hook and is silently dead without one")
+        if sim.goal is not None:
+            # progress bookkeeping (see EnvState.goal_best): the FK here
+            # CSEs with is_solved/aux — one sweep per tick either way
+            d = jnp.linalg.norm(ee_position(env, sim) - sim.goal)
+            improved = d < state.goal_best - env.progress_eps
+            state = dataclasses.replace(
+                state, goal_best=jnp.minimum(state.goal_best, d),
+                no_progress=jnp.where(improved, 0, state.no_progress + 1))
         event = solved | env.stuck_fn(state)
     if env.on_solved is not None:
         resampled = env.on_solved(dataclasses.replace(
@@ -256,6 +278,12 @@ def _advance(env: Env, state: EnvState, qdd):
         state = jax.tree.map(
             lambda a, b: b if a is b else jnp.where(event, a, b),
             resampled, state)
+        if env.stuck_fn is not None:
+            # fresh goal -> fresh progress window
+            state = dataclasses.replace(
+                state,
+                goal_best=jnp.where(event, jnp.inf, state.goal_best),
+                no_progress=jnp.where(event, 0, state.no_progress))
     else:
         # no resampling: solved_count saturates at 1 (the goal was reached)
         # instead of silently staying 0 forever

@@ -54,7 +54,7 @@ def _resample_goal(low, high):
 
 
 def _v2_policy_stack(model, goal, attractor_p_gain, attractor_d_gain,
-                     with_cspace_bias: bool):
+                     with_cspace_bias: bool, max_velocity: float = 0.5):
     """The shared v2 stack of experiments 05/06 (05_obstacle_avoidance.py:50-67,
     06_cluttered_environment.py:66-95)."""
     policies = [
@@ -65,7 +65,8 @@ def _v2_policy_stack(model, goal, attractor_p_gain, attractor_d_gain,
             min_metric_alpha=0.03, max_metric_scalar=1, min_metric_scalar=0.5,
             proximity_metric_boost_scalar=1.0,
             proximity_metric_boost_length_scale=0.02, name="attractor"),
-        v2.joint_velocity_cap(max_velocity=0.5, velocity_damping_region=0.15,
+        v2.joint_velocity_cap(max_velocity=max_velocity,
+                              velocity_damping_region=0.15,
                               damping_gain=5.0, metric_weight=0.05),
         v2.joint_damping(accel_d_gain=1, metric_scalar=0.005, inertia=0.3),
     ]
@@ -343,9 +344,18 @@ def env_randomized_cluttered(n_obstacles: int = 7) -> Env:
     from rmp_tpu.sim import randomizer as rnd
 
     model = MODEL()
+    # gains retuned for the randomized workload via the one-compile grid
+    # sweep (experiments/sweep_randomized.py; VERDICT r2 #3): the
+    # reference-derived 06 gains (p 0.3 / d 0.6 / cap 0.5) measured 35%
+    # success at 300 ticks — the 0.5 rad/s cap both strangled transit and
+    # kept the tracker in the cap metric's near-singular band. p 2.5 /
+    # d 1.5 / cap 0.8 measures 93% success, 2.4 goals/env
+    # (reports/eval_randomized.json). 06_cluttered keeps the reference
+    # gains — its golden certifies trajectory parity, not task success.
     policies = tuple(
-        _v2_policy_stack(model, goal=[0.5, 0.0, 0.5], attractor_p_gain=0.3,
-                         attractor_d_gain=0.6, with_cspace_bias=True)
+        _v2_policy_stack(model, goal=[0.5, 0.0, 0.5], attractor_p_gain=2.5,
+                         attractor_d_gain=1.5, with_cspace_bias=True,
+                         max_velocity=0.8)
         + _obstacle_policies(model))
 
     def on_solved(state: EnvState) -> EnvState:
@@ -357,14 +367,16 @@ def env_randomized_cluttered(n_obstacles: int = 7) -> Env:
         return dataclasses.replace(state, sim=sim, key=k, phase=state.steps)
 
     # stuck detection: reactive RMPs get stuck in local minima behind
-    # obstacles. Resample the goal (solved_count NOT incremented) only when
-    # the arm is genuinely PARKED — near-zero velocity well before the
-    # goal — for >= 100 ticks since the last goal event; a pure elapsed-time
-    # timeout measured 9 points of success LOST at 300-tick horizons
-    # (it steals goals from slow-but-progressing envs)
+    # obstacles. Resample the goal (solved_count NOT incremented) when the
+    # best EE-goal distance has not improved by > progress_eps (1 cm) for
+    # 80 ticks — catches parked arms AND limit-cycle oscillation (the
+    # earlier near-zero-velocity test missed oscillating envs: r2 sweeps
+    # showed success ~= first-goal success, resampling never rescued
+    # anyone). Progress-based windows don't steal goals from slow-but-
+    # progressing envs the way a pure elapsed-time timeout measured to
+    # (-9 points at 300-tick horizons).
     def stuck_fn(state: EnvState):
-        parked = jnp.max(jnp.abs(state.sim.qd)) < 0.02
-        return ((state.steps - state.phase) >= 100) & parked
+        return state.no_progress >= 80
 
     def reset(key):
         k_obs, k_robot, k_goal, k_carry = jax.random.split(key, 4)

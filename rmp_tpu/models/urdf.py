@@ -303,3 +303,55 @@ def with_collision_primitives(
         has_col[i] = len(prims) > 0
     return dataclasses.replace(
         model, collision=tuple(collisions), has_collision=tuple(has_col))
+
+
+def pybullet_collision_inertia(model: KinematicModel,
+                               hull_verts=None,
+                               margin: float = 1e-3) -> KinematicModel:
+    """Replace link inertia tensors with PyBullet's loadURDF recomputation.
+
+    PyBullet IGNORES the URDF <inertia> tensor unless the (non-default)
+    URDF_USE_INERTIA_FROM_FILE flag is passed; the reference calls plain
+    ``p.loadURDF`` (reference simulation.py:131,186), so the multibody it
+    stepped under TORQUE_CONTROL (simulation.py:369-381) used per-link
+    inertias recomputed from each link's COLLISION shape: Bullet's
+    ``btCompoundShape/btPolyhedralConvexShape::calculateLocalInertia``
+    box-AABB approximation
+
+        l  = AABB extent of the collision geometry + 2 * margin
+        I  = diag(m/12 * (ly^2+lz^2, lx^2+lz^2, lx^2+ly^2))
+
+    with the importer's default collision margin 0.001 and axes = the URDF
+    inertial axes (identity rpy for every panda link — asserted below).
+    Mass and COM keep their URDF values (the importer takes both from the
+    file; only the tensor is recomputed). AABB extents are translation-
+    invariant, so the inertial-origin offset drops out.
+
+    Applied to collision links whose hull vertices are available (for the
+    Panda: decimated hulls of the reference's actual collision meshes,
+    assets/panda_hulls.npz — their AABB matches the full mesh hull up to
+    decimation error). Links without collision geometry keep their URDF
+    tensor (Bullet gives them no shape to recompute from). Opt-in: only
+    torque-mode trajectories feel the difference — the exact-accel mode
+    never touches inertia, and in contact-free motion FD(ID(qdd)) = qdd
+    for ANY consistent model, so closed-loop paths are identical either
+    way; what changes is the TORQUES the motors exert
+    (tests/test_dynamics.py::test_pybullet_inertia_quirk measures the
+    delta).
+    """
+    if hull_verts is None:
+        from rmp_tpu.models.hulls import hulls_for
+        hull_verts = hulls_for(model)
+        if hull_verts is None:
+            raise ValueError(
+                f"no hull asset for robot {model.name!r}: cannot "
+                "reconstruct PyBullet's collision-shape inertia")
+    inertia = np.array(model.inertia)
+    for row, frame in enumerate(model.collision_frames):
+        verts = np.asarray(hull_verts[row], np.float64)
+        ext = verts.max(axis=0) - verts.min(axis=0) + 2.0 * margin
+        x2, y2, z2 = ext * ext
+        m = float(model.mass[frame])
+        inertia[frame] = np.diag(m / 12.0 *
+                                 np.asarray([y2 + z2, x2 + z2, x2 + y2]))
+    return dataclasses.replace(model, inertia=inertia.astype(np.float32))

@@ -64,6 +64,48 @@ def main():
     print("wrote franka01_trajectory.npz",
           np.stack(traj_q).shape, np.stack(traj_qdd).shape)
 
+    # --- franka 01, TORQUE MODE (VERDICT r2 #6) ----------------------------
+    # Same reference TF controller, but the physics routes through the
+    # torque-level path the reference actually ran (simulation.py:369-381:
+    # calculateInverseDynamics -> TORQUE_CONTROL -> stepSimulation), with
+    # PyBullet's loadURDF inertia recomputation applied (plain loadURDF
+    # IGNORES the URDF <inertia> tensors — models/urdf.
+    # pybullet_collision_inertia). Records per-substep torques (the real
+    # observable that moves with the inertia model) plus the closed-loop
+    # trajectory, and the exact-accel trajectory for the delta report.
+    from rmp_tpu.models.urdf import pybullet_collision_inertia
+
+    model_pb = pybullet_collision_inertia(model)
+    q = robots.PANDA_Q_READY.copy()
+    qd = np.zeros_like(q)
+    traj_q, traj_qdd, traj_tau = [q.copy()], [], []
+    for _ in range(40):
+        qdd_des = core.evaluate(q, qd).numpy().astype(np.float32)
+        traj_qdd.append(qdd_des.copy())
+        taus = []
+        for _ in range(10):
+            tau = dynamics.inverse_dynamics(
+                model_pb, jnp.asarray(q), jnp.asarray(qd),
+                jnp.asarray(qdd_des))
+            tau = jnp.clip(tau, -jnp.asarray(model_pb.effort_limit),
+                           jnp.asarray(model_pb.effort_limit))
+            taus.append(np.asarray(tau, np.float32))
+            qdd_real = dynamics.forward_dynamics(
+                model_pb, jnp.asarray(q), jnp.asarray(qd), tau)
+            q, qd = (np.asarray(v) for v in dynamics.semi_implicit_euler_step(
+                model_pb, jnp.asarray(q), jnp.asarray(qd), qdd_real, 0.01))
+        traj_tau.append(np.stack(taus))
+        traj_q.append(q.copy())
+    exact_q = np.load(os.path.join(OUT, "franka01_trajectory.npz"))["q"]
+    delta = float(np.max(np.abs(np.stack(traj_q) - exact_q)))
+    np.savez(os.path.join(OUT, "franka01_torque_trajectory.npz"),
+             goal=goal, q=np.stack(traj_q), qdd=np.stack(traj_qdd),
+             tau=np.stack(traj_tau),
+             exact_vs_torque_max_q_delta=np.float32(delta))
+    print("wrote franka01_torque_trajectory.npz",
+          np.stack(traj_q).shape, np.stack(traj_tau).shape,
+          f"exact-vs-torque max|dq|={delta:.2e}")
+
     # --- two-joint 01 policy set, 40 ticks ---------------------------------
     model2 = robots.two_joint_robot()
     fkine2 = ref_kin.UrdfForwardKinematic(

@@ -261,3 +261,50 @@ def test_velocity_limit_clamp():
     vmax = np.asarray(model.velocity_limit)
     assert (np.asarray(qd_free) > vmax).any()
     assert (np.abs(np.asarray(qd_clamped)) <= vmax + 1e-6).all()
+
+
+def test_pybullet_inertia_quirk():
+    """models/urdf.pybullet_collision_inertia replicates what plain
+    p.loadURDF simulated (inertia recomputed from the collision shape via
+    Bullet's box-AABB calculateLocalInertia; URDF <inertia> ignored):
+    diagonal tensors, box formula from hull AABB + 1 mm margin, mass/COM
+    unchanged — and the torque-level observables shift while FD(ID(.)) = id
+    still holds on the quirk model."""
+    import numpy as np
+
+    from rmp_tpu.models import robots
+    from rmp_tpu.models.hulls import hulls_for
+    from rmp_tpu.models.urdf import pybullet_collision_inertia
+    from rmp_tpu.sim import dynamics
+
+    model = robots.franka_panda()
+    quirk = pybullet_collision_inertia(model)
+    hv = np.asarray(hulls_for(model))
+    for row, f in enumerate(model.collision_frames):
+        I = np.asarray(quirk.inertia[f])
+        assert np.allclose(I, np.diag(np.diag(I)))       # diagonalized
+        ext = hv[row].max(0) - hv[row].min(0) + 2e-3
+        x2, y2, z2 = ext * ext
+        expect = float(model.mass[f]) / 12.0 * np.asarray(
+            [y2 + z2, x2 + z2, x2 + y2])
+        np.testing.assert_allclose(np.diag(I), expect, rtol=1e-5)
+    np.testing.assert_allclose(quirk.mass, model.mass, atol=0)
+    np.testing.assert_allclose(quirk.com, model.com, atol=0)
+    # non-collision frames keep their URDF tensors
+    for f in range(model.n_frames):
+        if f not in model.collision_frames:
+            np.testing.assert_allclose(quirk.inertia[f], model.inertia[f],
+                                       atol=0)
+
+    q = jnp.asarray(robots.PANDA_Q_READY)
+    qd = 0.1 * jnp.ones_like(q)
+    qdd = 0.5 * jnp.ones_like(q)
+    tau_q = dynamics.inverse_dynamics(quirk, q, qd, qdd)
+    tau_u = dynamics.inverse_dynamics(model, q, qd, qdd)
+    # the quirk moves the torques measurably (placeholder 0.1 tensors vs
+    # box-AABB values an order of magnitude smaller)...
+    assert float(jnp.max(jnp.abs(tau_q - tau_u))) > 0.05
+    # ...while the round trip stays exact on the quirk model
+    np.testing.assert_allclose(
+        np.asarray(dynamics.forward_dynamics(quirk, q, qd, tau_q)),
+        np.asarray(qdd), atol=1e-4)

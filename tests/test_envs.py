@@ -444,3 +444,24 @@ def test_moving_goal_tracking():
                         m.frame_index("panda_grasptarget_hand"))[:3, 3]
         assert float(jnp.linalg.norm(ee - g[e])) < 0.02
     assert (np.asarray(final.solved_count) == 1).all()
+
+
+@pytest.mark.slow
+def test_progress_based_stuck_detection():
+    """EnvState.no_progress counts ticks without > progress_eps EE-goal
+    improvement and resets on every goal event (solve OR stuck-fire); the
+    randomized env's stuck_fn resamples off it at 80 ticks, so a
+    local-minimum env (parked OR oscillating) always gets a fresh goal
+    (VERDICT r2 #3 / weak #4)."""
+    env = envs.make("franka/randomized_cluttered")
+    states = envs.make_batched_reset(env, 8)(jax.random.PRNGKey(0))
+    assert float(np.asarray(states.goal_best).min()) == np.inf
+    final, aux = jax.jit(envs.make_batched_rollout(env, 120))(
+        states, env.gather_params())
+    npg = np.asarray(final.no_progress)
+    # a counter past the 80-tick threshold means a stuck env failed to
+    # fire the resampling hook
+    assert (npg >= 0).all() and (npg <= 80).all()
+    assert int(np.asarray(aux["resample"]).sum()) > 0
+    # goal_best tracks a real distance (finite once any tick ran)
+    assert np.isfinite(np.asarray(final.goal_best)).all()
