@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--every", type=int, default=4,
                     help="render every Nth control tick")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--geometry", choices=["capsule", "hull"],
+                    default="capsule",
+                    help="hull: draw links as their exact mesh-hull "
+                         "collision geometry (the reference GUI's meshes)")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__),
                                                   "results"))
     args = ap.parse_args()
@@ -54,7 +58,8 @@ def main():
                 camera = eye_target(cam_cfg, yaw_offset_deg=yaw_off)
                 if native.available():
                     frames.append(native.render_scene_native(
-                        env.model, state.sim, camera=camera))
+                        env.model, state.sim, camera=camera,
+                        geometry=args.geometry))
                 else:
                     frames.append(render_scene(env.model, state.sim))
         path = os.path.join(args.out, name.replace("/", "_") + ".gif")

@@ -51,12 +51,40 @@ static inline float sd_capsule(Vec3 p, const Capsule& c) {
   return norm(d) - c.r;
 }
 
+// convex polytope as intersection of half-spaces n.x <= d: the signed
+// "distance" max_i(n_i.p - d_i) is exact on faces/inside and a lower bound
+// near edges/corners — safe (conservative) for sphere tracing. Used to
+// render the EXACT mesh-hull collision geometry (models/hulls.py), the
+// visual counterpart of the reference's OBJ meshes in the PyBullet GUI.
+struct ConvexPrim {
+  const float* planes;  // F x 4 [nx ny nz d]
+  int n_planes;
+  Vec3 color;
+};
+
+static inline float sd_convex(Vec3 p, const ConvexPrim& c, int* face) {
+  float best = -1e30f;
+  *face = 0;
+  for (int i = 0; i < c.n_planes; ++i) {
+    const float* pl = c.planes + 4 * i;
+    float d = pl[0] * p.x + pl[1] * p.y + pl[2] * p.z - pl[3];
+    if (d > best) {
+      best = d;
+      *face = i;
+    }
+  }
+  return best;
+}
+
 struct Scene {
   const Capsule* caps;
   int n;
+  const ConvexPrim* hulls;
+  int n_hulls;
 };
 
-// sphere-traced scene distance; id = argmin primitive (-1 for ground plane)
+// sphere-traced scene distance; id = argmin primitive (-1 for ground
+// plane; >= n: hull index id - n)
 static inline float scene_sd(const Scene& s, Vec3 p, int* id) {
   float best = p.z;  // ground plane z = 0
   *id = -1;
@@ -67,12 +95,27 @@ static inline float scene_sd(const Scene& s, Vec3 p, int* id) {
       *id = i;
     }
   }
+  for (int i = 0; i < s.n_hulls; ++i) {
+    int face;
+    float d = sd_convex(p, s.hulls[i], &face);
+    if (d < best) {
+      best = d;
+      *id = s.n + i;
+    }
+  }
   return best;
 }
 
 // analytic surface normal of the hit primitive (id < 0: ground plane)
 static inline Vec3 scene_normal(const Scene& s, Vec3 p, int id) {
   if (id < 0) return {0, 0, 1};
+  if (id >= s.n) {
+    const ConvexPrim& c = s.hulls[id - s.n];
+    int face;
+    sd_convex(p, c, &face);
+    const float* pl = c.planes + 4 * face;
+    return {pl[0], pl[1], pl[2]};
+  }
   const Capsule& c = s.caps[id];
   Vec3 pa = p - c.p0;
   Vec3 ba = c.p1 - c.p0;
@@ -98,22 +141,8 @@ static inline bool march(const Scene& s, Vec3 ro, Vec3 rd, float max_t,
   return false;
 }
 
-}  // namespace
-
-extern "C" {
-
-// capsules: n x 10 floats [p0xyz, p1xyz, radius, rgb]
-// camera:   [eye xyz, target xyz, fov_deg]
-// out:      H x W x 3 uint8
-void rmp_render_frame(const float* capsules, int n, const float* camera,
-                      int width, int height, uint8_t* out) {
-  Capsule* caps = new Capsule[n];
-  for (int i = 0; i < n; ++i) {
-    const float* c = capsules + 10 * i;
-    caps[i] = {{c[0], c[1], c[2]}, {c[3], c[4], c[5]}, c[6], {c[7], c[8], c[9]}};
-  }
-  Scene scene{caps, n};
-
+static void render_scene_impl(const Scene& scene, const float* camera,
+                              int width, int height, uint8_t* out) {
   Vec3 eye{camera[0], camera[1], camera[2]};
   Vec3 target{camera[3], camera[4], camera[5]};
   float fov = camera[6] * 3.14159265f / 180.0f;
@@ -144,8 +173,10 @@ void rmp_render_frame(const float* capsules, int n, const float* camera,
           int cx = (int)std::floor(p.x * 2.0f), cy = (int)std::floor(p.y * 2.0f);
           float c = ((cx + cy) & 1) ? 0.82f : 0.9f;
           base = {c, c, c};
+        } else if (id >= scene.n) {
+          base = scene.hulls[id - scene.n].color;
         } else {
-          base = caps[id].color;
+          base = scene.caps[id].color;
         }
         float diff = std::max(0.0f, dot(nrm, light));
         // hard shadow
@@ -165,7 +196,52 @@ void rmp_render_frame(const float* capsules, int n, const float* camera,
       px_out[2] = (uint8_t)std::clamp(col.z * 255.0f, 0.0f, 255.0f);
     }
   }
+}
+
+static Capsule* build_caps(const float* capsules, int n) {
+  Capsule* caps = new Capsule[n];
+  for (int i = 0; i < n; ++i) {
+    const float* c = capsules + 10 * i;
+    caps[i] = {{c[0], c[1], c[2]}, {c[3], c[4], c[5]}, c[6], {c[7], c[8], c[9]}};
+  }
+  return caps;
+}
+
+}  // namespace
+
+extern "C" {
+
+// capsules: n x 10 floats [p0xyz, p1xyz, radius, rgb]
+// camera:   [eye xyz, target xyz, fov_deg]
+// out:      H x W x 3 uint8
+void rmp_render_frame(const float* capsules, int n, const float* camera,
+                      int width, int height, uint8_t* out) {
+  Capsule* caps = build_caps(capsules, n);
+  Scene scene{caps, n, nullptr, 0};
+  render_scene_impl(scene, camera, width, height, out);
   delete[] caps;
+}
+
+// Capsules PLUS world-space convex hulls (the exact mesh-hull link
+// geometry). planes: concatenated F_i x 4 half-space rows [n xyz, d]
+// (inside: n.x <= d); counts: n_hulls plane counts; colors: n_hulls x 3.
+void rmp_render_frame_hulls(const float* capsules, int n,
+                            const float* planes, const int* counts,
+                            const float* colors, int n_hulls,
+                            const float* camera, int width, int height,
+                            uint8_t* out) {
+  Capsule* caps = build_caps(capsules, n);
+  ConvexPrim* hulls = new ConvexPrim[n_hulls];
+  const float* pl = planes;
+  for (int i = 0; i < n_hulls; ++i) {
+    hulls[i] = {pl, counts[i],
+                {colors[3 * i], colors[3 * i + 1], colors[3 * i + 2]}};
+    pl += 4 * counts[i];
+  }
+  Scene scene{caps, n, hulls, n_hulls};
+  render_scene_impl(scene, camera, width, height, out);
+  delete[] caps;
+  delete[] hulls;
 }
 
 }  // extern "C"

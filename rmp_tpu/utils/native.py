@@ -23,9 +23,14 @@ def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_LIB_PATH):
+    try:
+        # no-op when the .so is newer than tinyrender.cpp; rebuilds stale
+        # libraries from older checkouts (e.g. ones without the hull entry)
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                        capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        if not os.path.exists(_LIB_PATH):
+            raise
     lib = ctypes.CDLL(_LIB_PATH)
     lib.rmp_render_frame.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
@@ -33,6 +38,14 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.rmp_render_frame.restype = None
+    lib.rmp_render_frame_hulls.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.rmp_render_frame_hulls.restype = None
     _LIB = lib
     return lib
 
@@ -62,19 +75,94 @@ def render_capsules(capsules: np.ndarray, camera: np.ndarray,
     return out
 
 
+def render_hulls(capsules: np.ndarray, planes: np.ndarray,
+                 counts: np.ndarray, colors: np.ndarray, camera: np.ndarray,
+                 width: int = 320, height: int = 240) -> np.ndarray:
+    """Ray-trace capsules PLUS convex polytopes. planes: concatenated
+    (sum counts, 4) world half-space rows [n xyz, d] (inside: n.x <= d);
+    counts: per-hull plane counts; colors: (n_hulls, 3)."""
+    lib = _load()
+    caps = np.ascontiguousarray(capsules, dtype=np.float32).reshape(-1, 10)
+    pl = np.ascontiguousarray(planes, dtype=np.float32)
+    cnt = np.ascontiguousarray(counts, dtype=np.int32)
+    col = np.ascontiguousarray(colors, dtype=np.float32)
+    assert pl.ndim == 2 and pl.shape[1] == 4 and pl.shape[0] == cnt.sum()
+    assert col.shape == (len(cnt), 3)
+    cam = np.ascontiguousarray(camera, dtype=np.float32)
+    assert cam.shape == (7,)
+    out = np.empty((height, width, 3), dtype=np.uint8)
+    lib.rmp_render_frame_hulls(
+        caps.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(caps),
+        pl.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        col.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(cnt),
+        cam.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), width, height,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+_PLANE_CACHE: dict = {}
+
+
+def _hull_planes_local(model):
+    """Per-collision-link LOCAL half-space tables [(F_i, 4) n|d rows] from
+    the hull vertex assets (models/hulls.py), or None if the robot has no
+    hull asset. Cached: the hull is rigid, so the facet planes are computed
+    once and rigidly transformed per frame at render time."""
+    key = (model.name, tuple(model.collision_frames))
+    if key in _PLANE_CACHE:
+        return _PLANE_CACHE[key]
+    from rmp_tpu.models.hulls import hulls_for
+    verts = hulls_for(model)
+    planes = None
+    if verts is not None:
+        from scipy.spatial import ConvexHull
+        planes = []
+        for v in np.asarray(verts, np.float64):
+            hull = ConvexHull(v, qhull_options="QJ")       # QJ: joggle ties
+            # qhull: n.x + b <= 0 inside  ->  n.x <= d with d = -b
+            eq = hull.equations
+            planes.append(np.concatenate(
+                [eq[:, :3], -eq[:, 3:4]], axis=-1).astype(np.float32))
+    _PLANE_CACHE[key] = planes
+    return planes
+
+
 def render_scene_native(model, state, goal=None, camera=None,
-                        width: int = 320, height: int = 240) -> np.ndarray:
+                        width: int = 320, height: int = 240,
+                        geometry: str = "capsule") -> np.ndarray:
     """Native-rendered frame of a SimState (robot capsules + obstacles +
-    goal). camera: dict(eye, target, fov) or None for the default orbit."""
+    goal). camera: dict(eye, target, fov) or None for the default orbit.
+
+    geometry='hull' draws the robot links as their EXACT convex-hull
+    collision geometry (models/hulls.py — the decimated reference meshes),
+    the visual counterpart of the OBJ meshes the reference's PyBullet GUI
+    shows (reference simulation.py:296-300); falls back to capsules when
+    the robot has no hull asset."""
     from rmp_tpu.models import kinematics as K
     from rmp_tpu.sim.collision import link_world_capsules_all
 
     T_all = np.asarray(K.fk_all(model, state.q))
+    hull_planes = None
+    if geometry == "hull":
+        local = _hull_planes_local(model)
+        if local is not None:
+            # rigid plane transform: n.x_loc <= d with x_loc = R^T(x - t)
+            # -> (R n).x <= d + (R n).t
+            hull_planes, hull_counts = [], []
+            for f, pl in zip(model.collision_frames, local):
+                R, t = T_all[f, :3, :3], T_all[f, :3, 3]
+                n_w = pl[:, :3] @ R.T
+                d_w = pl[:, 3] + n_w @ t
+                hull_planes.append(
+                    np.concatenate([n_w, d_w[:, None]], axis=-1))
+                hull_counts.append(len(pl))
     p0, p1, radius, _ = link_world_capsules_all(model, T_all)
     p0, p1, radius = (np.asarray(v) for v in (p0, p1, radius))
     rows = []
-    for a, b, r in zip(p0, p1, radius):
-        rows.append([*a, *b, r, 0.25, 0.45, 0.8])           # robot: blue
+    if hull_planes is None:
+        for a, b, r in zip(p0, p1, radius):
+            rows.append([*a, *b, r, 0.25, 0.45, 0.8])       # robot: blue
     if state.obstacles is not None:
         for a, b, r in zip(np.asarray(state.obstacles.p0),
                            np.asarray(state.obstacles.p1),
@@ -91,5 +179,12 @@ def render_scene_native(model, state, goal=None, camera=None,
     cam = camera or dict(eye=(1.6, -1.6, 1.2), target=(0.0, 0.0, 0.4), fov=50)
     cam_arr = np.asarray([*cam["eye"], *cam["target"], cam["fov"]],
                          dtype=np.float32)
-    return render_capsules(np.asarray(rows, dtype=np.float32), cam_arr,
-                           width, height)
+    caps_arr = (np.asarray(rows, dtype=np.float32) if rows
+                else np.zeros((0, 10), np.float32))
+    if hull_planes is not None:
+        colors = np.tile(np.asarray([[0.25, 0.45, 0.8]], np.float32),
+                         (len(hull_planes), 1))
+        return render_hulls(caps_arr, np.concatenate(hull_planes),
+                            np.asarray(hull_counts, np.int32), colors,
+                            cam_arr, width, height)
+    return render_capsules(caps_arr, cam_arr, width, height)

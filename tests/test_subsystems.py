@@ -146,6 +146,34 @@ def test_native_renderer_if_toolchain():
     assert frame.reshape(-1, 3).std(0).mean() > 1.0
 
 
+def test_native_renderer_hull_geometry():
+    """geometry='hull' draws the robot as its EXACT mesh-hull collision
+    geometry (the visual counterpart of the reference GUI's OBJ meshes) on
+    every robot with a hull asset: image is drawn, and differs from the
+    capsule render only in the thin capsule-vs-hull silhouette band."""
+    from rmp_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("no C++ toolchain")
+    from rmp_tpu.envs.franka import cluttered_obstacles
+    from rmp_tpu.sim.world import init_state
+
+    for maker, q, obs in (
+            (robots.franka_panda, robots.PANDA_Q_READY, cluttered_obstacles()),
+            (robots.ur5, None, None),
+            (robots.two_joint_robot, None, None)):
+        model = maker()
+        q = np.zeros(model.n_q, np.float32) if q is None else q
+        state = init_state(model, q=q, obstacles=obs)
+        hull = native.render_scene_native(model, state, width=96, height=72,
+                                          geometry="hull")
+        cap = native.render_scene_native(model, state, width=96, height=72)
+        assert hull.shape == (72, 96, 3)
+        assert hull.reshape(-1, 3).std(0).mean() > 1.0
+        diff = (np.abs(hull.astype(int) - cap.astype(int)).sum(-1) > 10)
+        assert 0.0 < diff.mean() < 0.25, model.name
+
+
 @pytest.mark.slow
 def test_sharded_checkpoint_roundtrip(tmp_path):
     """Orbax save/restore of a mesh-sharded batched EnvState."""
