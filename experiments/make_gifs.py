@@ -62,7 +62,8 @@ def main():
                         geometry=args.geometry))
                 else:
                     frames.append(render_scene(env.model, state.sim))
-        path = os.path.join(args.out, name.replace("/", "_") + ".gif")
+        suffix = "" if args.geometry == "capsule" else f"_{args.geometry}"
+        path = os.path.join(args.out, name.replace("/", "_") + suffix + ".gif")
         save_gif(frames, path, fps=8)
         print(f"{name}: goals reached = {int(state.solved_count)}, "
               f"wrote {path} ({len(frames)} frames)")

@@ -90,6 +90,11 @@ def main():
         terminal_equilibrium=bool(checks[-1]["max_abs_qd"] < 1e-2),
         solve_events_per_chunk_first=round(rates[0], 2),
         solve_events_per_chunk_last=round(rates[-1], 2),
+        # full series: distinguishes a continuing productivity leak from
+        # convergence to the stationary solve rate (the first chunks start
+        # from the randomized-init distribution, which is easier than the
+        # post-goal-cycle stationary one)
+        solve_events_per_chunk=[round(r, 2) for r in rates],
         wall_seconds=round(wall, 2),
         checkpoints=checks[-3:],
     )
