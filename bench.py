@@ -51,7 +51,15 @@ def main():
 
     from rmp_tpu import envs
 
-    env = envs.make("franka/06_cluttered_environment")
+    # RMP_BENCH_ENV: bench any registered scenario (default: the flagship —
+    # the driver's recorded metric). E.g. dual_panda/handover, franka/
+    # randomized_cluttered, two_joint/05_obstacle_avoidance.
+    env_name = os.environ.get("RMP_BENCH_ENV",
+                              "franka/06_cluttered_environment")
+    if env_name not in envs.REGISTRY:
+        sys.exit(f"RMP_BENCH_ENV {env_name!r} not registered; "
+                 f"see experiments/run.py --list")
+    env = envs.make(env_name)
     # RMP_BENCH_GEOMETRY=hull benches the exact mesh-convex-hull GJK
     # collision mode (sub-mm distance parity; ~4x the collision-query cost)
     geometry = os.environ.get("RMP_BENCH_GEOMETRY", "capsule")
@@ -101,7 +109,7 @@ def main():
     result = {
         "metric": "rmp_control_steps_per_sec_per_chip",
         "value": round(control_steps_per_sec, 1),
-        "unit": "control_steps/s/chip (franka cluttered, "
+        "unit": f"control_steps/s/chip ({env_name}, "
                 f"{geometry} geometry, "
                 f"{batch} envs, {ticks} ticks x{chain} chained; "
                 f"compile {compile_s:.1f}s; "

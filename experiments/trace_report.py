@@ -90,6 +90,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--geometry", choices=("capsule", "hull"),
                     default="capsule")
+    ap.add_argument("--env", default="franka/06_cluttered_environment")
     args = ap.parse_args()
 
     import jax
@@ -99,7 +100,7 @@ def main():
 
     from rmp_tpu import envs
 
-    env = envs.make("franka/06_cluttered_environment")
+    env = envs.make(args.env)
     env.resolve_method = "solve"
     env.unroll_substeps = False
     env.collision_geometry = args.geometry

@@ -96,8 +96,7 @@ def env_handover() -> Env:
     # (franka/03 pattern; repulsion fires only on genuine approach)
     for f in left:
         frame = model.frame_names[f]
-        taskmap = tm.chain(tm.fk_frame(model, frame), tm.relative_offsets(),
-                           tm.to_position())
+        taskmap = tm.chain(tm.fk_frame(model, frame), tm.relative_points())
         pol = v1.collision_avoidance(
             taskmap=taskmap, eta_rep=0.1 * np.e, nu_rep=0.3, eta_damp=0.5,
             nu_damp=0.3, r=0.15, c=1e5, name=f"inter_arm_for_{frame}")

@@ -179,8 +179,7 @@ def env_03_self_avoidance() -> Env:
     ]
     for f in frames:
         frame = model.frame_names[f]
-        taskmap = tm.chain(tm.fk_frame(model, frame), tm.relative_offsets(),
-                           tm.to_position())
+        taskmap = tm.chain(tm.fk_frame(model, frame), tm.relative_points())
         # r=0.15 (not the 2-DOF scene's 0.4): on a 0.8 m arm most link pairs
         # sit permanently within 0.4 m of each other, so a wide radius turns
         # self-avoidance into a constant bias that destabilizes tracking —

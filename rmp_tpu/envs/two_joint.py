@@ -155,7 +155,7 @@ def env_05_obstacle_avoidance() -> Env:
     from rmp_tpu.sim.data import PAIRS_KEY
     grouped = v1.collision_avoidance(
         taskmap=tm.chain(tm.multi_fk_frames(model, model.collision_frames),
-                         tm.frames_relative_offsets(), tm.to_position()),
+                         tm.frames_relative_points()),
         eta_rep=0.1 * np.e, nu_rep=0.3, eta_damp=1.0, nu_damp=0.3, r=1.1,
         c=1e5, name="collision_avoidance")
     grouped.ctx_key = PAIRS_KEY

@@ -67,7 +67,7 @@ def env_02_obstacle_avoidance() -> Env:
     model = robots.ur5()
     grouped = v1.collision_avoidance(
         taskmap=tm.chain(tm.multi_fk_frames(model, model.collision_frames),
-                         tm.frames_relative_offsets(), tm.to_position()),
+                         tm.frames_relative_points()),
         eta_rep=0.1 * 2.718, nu_rep=0.3, eta_damp=0.5, nu_damp=0.3, r=0.3,
         c=1e5, name="collision_avoidance")
     grouped.ctx_key = PAIRS_KEY

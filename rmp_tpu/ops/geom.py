@@ -19,7 +19,13 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 
 _SMALL = 8      # max contraction dim for the VPU multiply-reduce lowering
-_SMALL_OUT = 16  # max output dims for it (bounds the broadcast intermediate)
+_SMALL_OUT = 32  # max output dims for it (bounds the broadcast intermediate)
+# _SMALL_OUT history: 8 -> 16 fixed the flagship's n_q=9 W = M J products
+# (one mis-routed batched dot was 18% of device time); 16 -> 32 fixes the
+# same cliff for the DUAL-arm tree (n_q=18: geom.py's matmul fallback
+# measured 37.7% of dual device time; the widened guard benched dual
+# 1.15M -> see ROADMAP). The broadcast intermediate stays <= 32*8*32
+# elements per batch row — XLA keeps it in-register inside the fusion.
 
 
 def mm(a: Array, b: Array) -> Array:

@@ -61,8 +61,12 @@ def _collision_motion(params, x, xd, ctx):
     f_rep = alpha_rep[:, None] * vec
     alpha_damp = params["eta_damp"] / (d / params["nu_damp"] + 1e-6)
     scaling = jnp.maximum(0.0, jnp.sum(-xd * vec, axis=-1))  # (P,)
-    P_obs = scaling[:, None, None] * vec[:, :, None] * vec[:, None, :]
-    f_damp = alpha_damp[:, None] * jnp.einsum("pij,pj->pi", P_obs, xd)
+    # P_obs @ xd with P_obs = scaling * vec vec^T, expanded as
+    # scaling * (vec . xd) * vec: identical math (reference rmp.py damping
+    # projection), but no (P, 3, 3) outer product and no tiny batched
+    # dot_general (einsum here measured as a latency-bound MXU dispatch in
+    # the dual-arm trace)
+    f_damp = (alpha_damp * scaling * jnp.sum(vec * xd, axis=-1))[:, None] * vec
     return f_rep - f_damp
 
 

@@ -227,6 +227,36 @@ def relative_offsets(ctx_field: str = "relative_position") -> Taskmap:
     return Taskmap(fn)
 
 
+def relative_points(ctx_field: str = "relative_position") -> Taskmap:
+    """(1, 16) frame 4x4 -> (P, 3): world positions of P pure-translation
+    offsets expressed in the frame — the FUSED form of
+    chain(relative_offsets, to_position): x = R @ off + t directly, no
+    (P, 4, 4) homogeneous products (the post map is re-evaluated ~n_q+3
+    times per tick by the combine engine's jvp sweeps, so the 64-multiply
+    4x4 composition measured ~6% of dual-arm device time against the 9
+    multiplies actually needed). Same math, bit-equal derivatives
+    (test_taskmaps.test_relative_points_equals_chain)."""
+    def fn(x, ctx):
+        offs = ctx[ctx_field]                       # (P, 3)
+        T = x.reshape(-1, 4, 4)                     # (1, 4, 4)
+        R = jnp.broadcast_to(T[:, :3, :3], offs.shape[:1] + (3, 3))
+        return geom.mv(R, offs) + T[:, :3, 3]
+    return Taskmap(fn)
+
+
+def frames_relative_points(ctx_field: str = "relative_position") -> Taskmap:
+    """(L, 16) frames -> (L*K, 3): grouped version of relative_points
+    (offsets ctx[ctx_field] are (L, K, 3) in each frame's coordinates)."""
+    def fn(x, ctx):
+        offs = ctx[ctx_field]                       # (L, K, 3)
+        L, K, _ = offs.shape
+        T = x.reshape(L, 1, 4, 4)
+        R = jnp.broadcast_to(T[:, :, :3, :3], (L, K, 3, 3))
+        p = geom.mv(R, offs) + T[:, :, :3, 3]
+        return p.reshape(L * K, 3)
+    return Taskmap(fn)
+
+
 def frame_to_point_distance(link_field: str = "pos_on_link",
                             obstacle_field: str = "pos_on_obstacle") -> Taskmap:
     """(1, 16) frame 4x4 -> (P, 1) distances from per-pair body points to

@@ -77,6 +77,37 @@ def test_relative_offsets():
     np.testing.assert_allclose(out, want, atol=1e-5)
 
 
+def test_relative_points_equals_chain():
+    """The fused relative_points / frames_relative_points maps match the
+    chain(relative_offsets/frames_relative_offsets, to_position) composition
+    they replace in the envs — values AND full (x, xd, J, c) derivatives."""
+    model = robots.two_joint_robot()
+    ee = model.frame_index("link_23")
+    q = jnp.asarray(rng.uniform(-1, 1, 2), jnp.float32)
+    qd = jnp.asarray(rng.uniform(-1, 1, 2), jnp.float32)
+    offs = jnp.asarray(rng.uniform(-0.3, 0.3, (4, 3)), jnp.float32)
+    ctx = {"relative_position": offs}
+    old = tm.chain(tm.fk_frame(model, ee), tm.relative_offsets(),
+                   tm.to_position())
+    new = tm.chain(tm.fk_frame(model, ee), tm.relative_points())
+    for a, b in zip(tm.differentiate(old, q, qd, ctx),
+                    tm.differentiate(new, q, qd, ctx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # grouped form over all collision frames
+    frames = model.collision_frames
+    offs_g = jnp.asarray(rng.uniform(-0.3, 0.3, (len(frames), 3, 3)),
+                         jnp.float32)
+    ctx_g = {"relative_position": offs_g}
+    old_g = tm.chain(tm.multi_fk_frames(model, frames),
+                     tm.frames_relative_offsets(), tm.to_position())
+    new_g = tm.chain(tm.multi_fk_frames(model, frames),
+                     tm.frames_relative_points())
+    for a, b in zip(tm.differentiate(old_g, q, qd, ctx_g),
+                    tm.differentiate(new_g, q, qd, ctx_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_frame_to_point_distance_value_and_gradient():
     """Distance value == euclidean distance; Jacobian treats the body point as
     rigidly attached (stop_gradient on the offset, ref taskmap.py:126)."""
