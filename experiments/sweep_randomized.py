@@ -11,8 +11,9 @@ Used for VERDICT r2 #3 (randomized-scene success-rate work): pick the best
 config, then bake it into envs/franka.env_randomized_cluttered.
 
 Usage: python experiments/sweep_randomized.py [--envs-per-config 256]
-         [--ticks 300] [--cpu] [--set attractor_p_gain=0.3,0.6,1.0]
-         [--set attractor_d_gain=0.6,1.2]
+         [--ticks 300] [--cpu] [--set accel_p_gain=0.3,0.6,1.0]
+         [--set accel_d_gain=0.6,1.2]
+(keys are policy-params dict keys; unknown keys are a hard error)
 """
 import argparse
 import itertools
@@ -63,6 +64,8 @@ def main():
     grid = list(itertools.product(*[vals for _, vals in axes]))
     G = len(grid)
 
+    applied = {key: 0 for key, _ in axes}
+
     def params_for(combo):
         out = []
         for i, prm in enumerate(base):
@@ -74,14 +77,19 @@ def main():
                         and key in prm):
                     if key in prm:
                         prm[key] = jnp.asarray(val, jnp.float32)
+                        applied[key] += 1
             out.append(prm)
         return tuple(out)
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                            *[params_for(c) for c in grid])
+    dead = [k for k, n in applied.items() if n == 0]
+    if dead:
+        avail = sorted({k for prm in base for k in prm})
+        sys.exit(f"--set key(s) {dead} match no policy params; a sweep over "
+                 f"them would silently be a no-op. Available keys: {avail}")
 
     B = args.envs_per_config
-    states = envs.make_batched_rollout  # noqa: F841 (doc aid)
     states = envs.make_batched_reset(env, B)(jax.random.PRNGKey(args.seed))
     rollout = envs.make_batched_rollout(env, args.ticks)
 

@@ -115,12 +115,17 @@ def main():
         interp = pltpu.force_tpu_interpret_mode()
 
     with interp:
-        out = rollout(states, params)       # compile outside the trace
+        # AOT-compile ONCE and execute the compiled object: the roofline's
+        # cost_analysis reads from this same compilation instead of paying a
+        # second trace+lower+remote-compile (the axon tunnel adds 0-130 s of
+        # noise per compile, CLAUDE.md).
+        compiled = rollout.lower(states, params).compile()
+        out = compiled(states, params)      # warm-up outside the trace
         jax.block_until_ready(out[0].sim.q)
 
         with tempfile.TemporaryDirectory() as td:
             with jax.profiler.trace(td):
-                out = rollout(states, params)
+                out = compiled(states, params)
                 jax.block_until_ready(out[0].sim.q)
             events = _op_track_events(load_trace_events(td))
         totals = (device_source_durations(events) if args.by_source
@@ -142,7 +147,7 @@ def main():
     # kernel is ~10% of device time, so the MFU figure is a mild
     # underestimate.)
     try:
-        ca = rollout.lower(states, params).compile().cost_analysis()
+        ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get("flops", 0.0))
         bts = float(ca.get("bytes accessed", 0.0))

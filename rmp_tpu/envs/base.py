@@ -397,12 +397,13 @@ def make_batched_control_step(env: Env):
             qdd = resolve(A, f, env.resolve_method)
         out, aux = jax.vmap(lambda s, a: _advance(env, s, a))(states, qdd)
         if warm_next is not None:
-            if env.on_solved is not None:
-                # a resample moved the scene: drop to the cold capsule-
-                # witness start next tick instead of descending from a
-                # stale direction
-                warm_next = jnp.where(
-                    aux["resample"][:, None, None, None], 0.0, warm_next)
+            # The warm carry is kept through resamples: every on_solved in
+            # the registry moves only the GOAL (franka.py:360-366 etc.), so
+            # the collision geometry — and with it the converged witness
+            # direction — is unchanged. (An env whose on_solved ever moves
+            # obstacles or teleports q should zero state.gjk_warm itself;
+            # zeroing falls back to the capsule-witness start, which is
+            # recomputed from the current scene every tick.)
             out = dataclasses.replace(out, gjk_warm=warm_next)
         return out, aux
     return step
@@ -440,13 +441,19 @@ def _wants_gjk_warm(env: Env, states: EnvState) -> bool:
 
 
 def _seed_gjk_warm(env: Env, states: EnvState) -> EnvState:
-    """Zero-filled (B, L, K, 3) warm carry: zeros = cold capsule-witness
-    start (sim/collision.robot_obstacle_distances_hull_batched)."""
-    B = states.sim.q.shape[0]
-    L = len(env.model.collision_frames)
-    K_obs = states.sim.obstacles.p0.shape[1]
-    return dataclasses.replace(
-        states, gjk_warm=jnp.zeros((B, L, K_obs, 3), jnp.float32))
+    """CONVERGED (B, L, K, 3) witness-direction warm carry from one cold
+    10-iteration hull query on the initial states. Seeding with zeros (=
+    capsule-witness fallback) made tick 0 run the warm iteration count
+    (RMP_GJK_ITERS, 4) from a start the accuracy band was never measured
+    at — the band assumes either 10 cold iterations or a previous-tick
+    converged witness. One extra query per rollout is noise next to the
+    per-tick loop."""
+    from rmp_tpu.sim.data import distance_context_batched
+    T_all_b = jax.vmap(lambda q: K.fk_all(env.model, q))(states.sim.q)
+    _, warm = distance_context_batched(env.model, T_all_b,
+                                       states.sim.obstacles,
+                                       geometry="hull", iters=10)
+    return dataclasses.replace(states, gjk_warm=warm)
 
 
 def make_batched_reset(env: Env, batch: int):

@@ -213,18 +213,19 @@ def _kernel(verts_ref, R_ref, t_ref, p0_ref, p1_ref, an_ref, r_ref,
 
     def sup_obs(d):
         # capsule (segment + ball) and flat-capped cylinder, selected by
-        # the per-pair tag (ops/gjk.support_capsule / support_cylinder_unit)
-        dn2 = _dot(d, d)
-        inv_dn = jax.lax.rsqrt(dn2 + _EPS)
+        # the per-pair tag (ops/gjk.support_capsule / support_cylinder_unit).
+        # Normalizations are v / (|v| + eps) — the ORACLE's eps semantics,
+        # not rsqrt(|v|^2 + eps): for near-axis-parallel directions
+        # (|d_perp| ~ 1e-7) the rsqrt form yields a ~0.1-magnitude pn and
+        # the end-cap witness diverges from the XLA path by O(r).
+        inv_dn = 1.0 / (jnp.sqrt(_dot(d, d)) + _EPS)
         axis = _sub(p1, p0)
         pick = _dot(d, axis) > 0
         end = _where(pick, p1, p0)
         cap = _add(end, _scale(r_obs * inv_dn, d))
         d_ax = _dot(d, an)
         d_perp = _sub(d, _scale(d_ax, an))
-        perp2 = _dot(d_perp, d_perp)
-        inv_p = jax.lax.rsqrt(perp2 + _EPS)
-        # match the XLA path's eps semantics: pn = d_perp / (|d_perp| + eps)
+        inv_p = 1.0 / (jnp.sqrt(_dot(d_perp, d_perp)) + _EPS)
         pn = _scale(inv_p, d_perp)
         end_c = _where(d_ax > 0, p1, p0)
         cyl = _add(end_c, _scale(r_obs, pn))

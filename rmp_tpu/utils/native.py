@@ -38,16 +38,27 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.rmp_render_frame.restype = None
-    lib.rmp_render_frame_hulls.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8),
-    ]
-    lib.rmp_render_frame_hulls.restype = None
+    # Guarded: a stale prebuilt .so from a checkout without the hull entry
+    # (plus no toolchain to rebuild) must still serve capsule rendering —
+    # only hull-geometry rendering degrades (render_scene_native falls back).
+    if hasattr(lib, "rmp_render_frame_hulls"):
+        lib.rmp_render_frame_hulls.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.rmp_render_frame_hulls.restype = None
     _LIB = lib
     return lib
+
+
+def hulls_available() -> bool:
+    try:
+        return hasattr(_load(), "rmp_render_frame_hulls")
+    except Exception:
+        return False
 
 
 def available() -> bool:
@@ -82,6 +93,10 @@ def render_hulls(capsules: np.ndarray, planes: np.ndarray,
     (sum counts, 4) world half-space rows [n xyz, d] (inside: n.x <= d);
     counts: per-hull plane counts; colors: (n_hulls, 3)."""
     lib = _load()
+    if not hasattr(lib, "rmp_render_frame_hulls"):
+        raise RuntimeError(
+            "libtinyrender.so is stale (no rmp_render_frame_hulls symbol) "
+            "and could not be rebuilt; run `make -C native`")
     caps = np.ascontiguousarray(capsules, dtype=np.float32).reshape(-1, 10)
     pl = np.ascontiguousarray(planes, dtype=np.float32)
     cnt = np.ascontiguousarray(counts, dtype=np.int32)
@@ -145,7 +160,7 @@ def render_scene_native(model, state, goal=None, camera=None,
     T_all = np.asarray(K.fk_all(model, state.q))
     hull_planes = None
     if geometry == "hull":
-        local = _hull_planes_local(model)
+        local = _hull_planes_local(model) if hulls_available() else None
         if local is not None:
             # rigid plane transform: n.x_loc <= d with x_loc = R^T(x - t)
             # -> (R n).x <= d + (R n).t
