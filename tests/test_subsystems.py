@@ -264,3 +264,20 @@ def test_bench_json_contract():
         assert k in r
     assert r["metric"] == "rmp_control_steps_per_sec_per_chip"
     assert r["value"] > 0
+
+
+def test_sweep_cli_rejects_unknown_gain_keys():
+    """sweep_randomized.py must hard-error on --set keys that match no
+    policy params (a typo'd key previously produced a silent no-op sweep
+    with identical rows — the tool exists to choose production gains)."""
+    import os
+    import subprocess
+    import sys
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "experiments",
+                                      "sweep_randomized.py"),
+         "--cpu", "--set", "attractor_p_gain=0.3,2.5"],
+        capture_output=True, text=True, cwd=root, timeout=600)
+    assert out.returncode != 0
+    assert "attractor_p_gain" in out.stderr and "accel_p_gain" in out.stderr
