@@ -113,3 +113,34 @@ def test_batched_hull_step_matches_per_env_on_cpu():
                                np.asarray(aux2["qdd"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(s1.sim.q), np.asarray(s2.sim.q),
                                atol=1e-5)
+
+
+def test_gjk_warm_seed_is_converged_witness():
+    """make_batched_reset must seed the hull tier's gjk_warm carry with
+    CONVERGED witness directions (pos_on_obstacle - pos_on_link of a cold
+    10-iteration query), not zeros: a zero seed made tick 0 run the warm
+    iteration count from the capsule-witness start, below the measured
+    accuracy band (round-3 review finding)."""
+    from rmp_tpu import envs
+    from rmp_tpu.models import kinematics as K
+    from rmp_tpu.sim.data import PAIRS_KEY, distance_context_batched
+
+    env = envs.make("franka/06_cluttered_environment")
+    if hulls_for(env.model) is None:
+        pytest.skip("no panda hull asset")
+    env.collision_geometry = "hull"
+    B = 128
+    states = envs.make_batched_reset(env, B)(jax.random.PRNGKey(3))
+    warm = states.gjk_warm
+    assert warm is not None
+    assert np.all(np.isfinite(np.asarray(warm)))
+    assert np.any(np.abs(np.asarray(warm)) > 1e-6)      # not the zero seed
+    T_all_b = jax.vmap(lambda q: K.fk_all(env.model, q))(states.sim.q)
+    ctx, _ = distance_context_batched(env.model, T_all_b,
+                                      states.sim.obstacles,
+                                      geometry="hull", iters=10)
+    pairs = ctx[PAIRS_KEY]
+    np.testing.assert_allclose(
+        np.asarray(warm),
+        np.asarray(pairs["pos_on_obstacle"] - pairs["pos_on_link"]),
+        atol=1e-6)
