@@ -266,6 +266,59 @@ def test_bench_json_contract():
     assert r["value"] > 0
 
 
+def test_trace_report_event_parsing():
+    """The perf-attribution tool's trace parsing is the ground truth for
+    every device-time claim in ROADMAP/DESIGN — pin its behavior on a
+    synthetic perfetto trace: op-track selection (device pids only, 'XLA
+    Ops' threads only, `while` loop parents dropped), per-op and per-source
+    aggregation (repo prefix stripped, sourceless ops bucketed under their
+    hlo_category), and the no-metadata fallback."""
+    from experiments import trace_report as tr
+
+    dev, host = 7, 3
+    meta = [
+        {"ph": "M", "name": "process_name", "pid": dev,
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "process_name", "pid": host,
+         "args": {"name": "Host threads"}},
+        {"ph": "M", "name": "thread_name", "pid": dev, "tid": 1,
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "name": "thread_name", "pid": dev, "tid": 2,
+         "args": {"name": "XLA Modules"}},
+    ]
+    xs = [
+        {"ph": "X", "pid": dev, "tid": 1, "name": "fusion.1", "dur": 10,
+         "args": {"source": tr._REPO_PREFIX + "rmp_tpu/core.py:41"}},
+        {"ph": "X", "pid": dev, "tid": 1, "name": "fusion.1", "dur": 5,
+         "args": {"source": tr._REPO_PREFIX + "rmp_tpu/core.py:41"}},
+        {"ph": "X", "pid": dev, "tid": 1, "name": "copy.2", "dur": 7,
+         "args": {"hlo_category": "copy"}},
+        # loop parent: contains its children, would double-count
+        {"ph": "X", "pid": dev, "tid": 1, "name": "while.3", "dur": 99,
+         "args": {}},
+        # module track on the device: not the per-op track
+        {"ph": "X", "pid": dev, "tid": 2, "name": "jit_rollout", "dur": 99,
+         "args": {}},
+        # host-side event: never device time
+        {"ph": "X", "pid": host, "tid": 1, "name": "fusion.1", "dur": 99,
+         "args": {}},
+    ]
+    ops = tr._op_track_events(meta + xs)
+    assert sorted(e["name"] for e in ops) == ["copy.2", "fusion.1",
+                                              "fusion.1"]
+    by_op = tr.device_op_durations(ops)
+    assert by_op == {"fusion.1": 15, "copy.2": 7}
+    by_src = tr.device_source_durations(ops)
+    assert by_src == {"rmp_tpu/core.py:41": 15, "<copy>": 7}
+
+    # fallback: no 'XLA Ops' thread metadata at all -> every device-pid
+    # complete event counts (CPU traces / older profiler formats)
+    bare = [m for m in meta if m["name"] == "process_name"] + xs
+    names = sorted(e["name"] for e in tr._op_track_events(bare))
+    assert names == ["copy.2", "fusion.1", "fusion.1", "jit_rollout",
+                     "while.3"]
+
+
 def test_sweep_cli_rejects_unknown_gain_keys():
     """sweep_randomized.py must hard-error on --set keys that match no
     policy params (a typo'd key previously produced a silent no-op sweep
