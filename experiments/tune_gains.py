@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the tick (long-horizon tuning)")
+    ap.add_argument("--geometry", choices=("capsule", "hull"),
+                    default="capsule",
+                    help="link collision geometry (hull = exact mesh-hull "
+                         "GJK; differentiable via support_hull's envelope "
+                         "custom_jvp)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -71,6 +76,7 @@ def main():
     from rmp_tpu import envs
 
     env = envs.make(args.env)
+    env.collision_geometry = args.geometry
     env.resolve_method = "cholesky"
     env.on_solved = None          # keep the goal fixed while tuning
     loss, theta, keys = make_loss(env, args.batch, args.ticks,

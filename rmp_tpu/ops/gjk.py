@@ -37,6 +37,8 @@ iterations are a static arg.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -51,17 +53,7 @@ _EPS = 1e-12
 # ---------------------------------------------------------------------------
 
 
-def support_hull(verts: Array, d: Array) -> Array:
-    """Convex polytope support point. verts: (..., V, 3) vertex table;
-    d: (..., 3). Ties resolve to the first argmax vertex.
-
-    ONE variadic lax.reduce carrying (dot, x, y, z): the per-element dot is
-    unrolled elementwise so XLA fuses it INTO the reduction — the naive
-    max-then-select formulation materializes the (batch, pairs, V) dot
-    tensor to HBM between its two reduction kernels (~130 MB per GJK
-    iteration at production batches). Not differentiable (custom-computation
-    reduce has no autodiff rule); GJK feeds the distance CONTEXT, which is
-    data, not a differentiated path."""
+def _support_hull_impl(verts: Array, d: Array) -> Array:
     def two_pass(verts, d):
         # CPU/GPU: variadic custom-computation reduce lowers to a scalar
         # loop on CPU (~13x slower test tier); the two-pass max+select is
@@ -95,6 +87,50 @@ def support_hull(verts: Array, d: Array) -> Array:
     # a TPU-default process jitting for CPU still gets the right lowering)
     return jax.lax.platform_dependent(verts, d, tpu=variadic,
                                       default=two_pass)
+
+
+@jax.custom_jvp
+def support_hull(verts: Array, d: Array) -> Array:
+    """Convex polytope support point. verts: (..., V, 3) vertex table;
+    d: (..., 3). Exact ties resolve to the first argmax vertex.
+
+    ONE variadic lax.reduce on TPU carrying (dot, x, y, z): the per-element
+    dot is unrolled elementwise so XLA fuses it INTO the reduction — the
+    naive max-then-select formulation materializes the (batch, pairs, V) dot
+    tensor to HBM between its two reduction kernels (~130 MB per GJK
+    iteration at production batches). CPU/GPU keep the two-pass max+select
+    (the variadic custom-computation reduce lowers to a scalar loop there).
+
+    DIFFERENTIABLE via an explicit envelope rule (the TPU reduce has no
+    autodiff rule of its own): the maximizing vertex is locally constant in
+    d, so ∂s/∂d = 0 almost everywhere, and ∂s/∂verts is the tie-averaged
+    vertex selection. That makes the whole GJK query (and hull-mode
+    rollouts) jvp/vjp-safe on every platform — by the envelope theorem the
+    resulting distance derivative n·(∂pa/∂pose − ∂pb/∂pose) is the exact
+    a.e. derivative, validated against finite differences in
+    tests/test_gjk.py. (The fused Pallas kernel path is still forward-only;
+    gradient consumers use the per-env/XLA path, as tune_gains does.)"""
+    return _support_hull_impl(verts, d)
+
+
+@functools.partial(support_hull.defjvp, symbolic_zeros=True)
+def _support_hull_jvp(primals, tangents):
+    verts, d = primals
+    v_dot, d_dot = tangents
+    del d_dot                      # ∂s/∂d = 0 a.e. (argmax locally constant)
+    s = _support_hull_impl(verts, d)
+    if isinstance(v_dot, jax.custom_derivatives.SymbolicZero):
+        # the standard case: static vertex tables (link-local hulls are
+        # compile-time constants) — skip the (..., V) tangent reduction
+        return s, jnp.zeros_like(s)
+    # moving/parameterized vertices: tangent of the tie-averaged selection
+    # (same mask semantics as the two_pass primal)
+    dots = jnp.sum(verts * d[..., None, :], axis=-1)
+    m = jnp.max(dots, axis=-1, keepdims=True)
+    w = (dots >= m).astype(verts.dtype)
+    t = (jnp.sum(w[..., None] * v_dot, axis=-2)
+         / (jnp.sum(w, axis=-1)[..., None] + _EPS))
+    return s, jnp.broadcast_to(t, s.shape)
 
 
 def support_capsule(p0: Array, p1: Array, r: Array, d: Array) -> Array:

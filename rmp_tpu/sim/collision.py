@@ -14,11 +14,13 @@ p.getClosestPoints) with two interchangeable link geometries:
 
 Every query returns the same tuple PyBullet does: (point on link surface,
 point on obstacle surface, normal on obstacle pointing toward the link,
-signed distance). All functions are branchless and broadcast over leading
-batch axes. The CAPSULE queries are additionally differentiable end-to-end;
-the HULL/GJK queries are forward-only on TPU (ops/gjk.support_hull lowers
-to a variadic lax.reduce with no autodiff rule there — gradient consumers
-such as gain tuning must use collision_geometry='capsule').
+signed distance). All functions are branchless, broadcast over leading
+batch axes, and differentiable: the capsule queries natively, the HULL/GJK
+queries via ops/gjk.support_hull's explicit envelope custom_jvp (exact a.e.
+distance derivatives on every platform; validated vs finite differences in
+tests/test_gjk.py). Exception: the fused Pallas GJK kernel
+(robot_obstacle_distances_hull_batched) is forward-only — gradient
+consumers such as gain tuning use the per-env/XLA hull path.
 """
 from __future__ import annotations
 

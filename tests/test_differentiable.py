@@ -34,6 +34,23 @@ def test_rollout_gradients_exist_and_descend():
     assert float(v1) < float(v0), (float(v0), float(v1))
 
 
+@pytest.mark.slow
+def test_hull_mode_rollout_gradients():
+    """Gain gradients flow through EXACT-geometry (hull/GJK) rollouts:
+    support_hull's envelope custom_jvp makes the whole hull distance
+    context jvp/vjp-safe, so gain tuning is no longer capsule-only."""
+    env = envs.make("two_joint/05_obstacle_avoidance")
+    env.resolve_method = "cholesky"
+    env.on_solved = None
+    env.collision_geometry = "hull"
+    loss, theta, _ = make_loss(env, batch=2, n_ticks=6)
+    v, g = jax.value_and_grad(loss)(theta)
+    g_flat = np.asarray([g["log_p"], g["log_d"]])
+    assert np.isfinite(float(v))
+    assert np.all(np.isfinite(g_flat))
+    assert np.linalg.norm(g_flat) > 1e-6, "zero gradient through hull rollout"
+
+
 def test_remat_rollout_same_values_and_grads():
     """jax.checkpoint'ed rollouts: identical forward values; gradients match
     the non-remat path (recomputation changes memory, not math)."""

@@ -32,6 +32,47 @@ def test_cube_sphere_analytic():
         assert abs(float(jnp.linalg.norm(pa - pb)) - float(dist)) < 1e-6
 
 
+def test_hull_distance_gradient_matches_finite_differences():
+    """support_hull's envelope custom_jvp makes the GJK distance exactly
+    differentiable a.e.: grad of dist(hull translated by t, sphere) w.r.t.
+    t must equal the central finite difference (and the analytic -normal
+    direction) away from face/edge ties. This is what unblocks hull-mode
+    gradient consumers (gain tuning) — the TPU variadic reduce has no
+    autodiff rule of its own."""
+    centers = np.asarray([[2.0, 0.7, 0.4], [1.3, 1.6, -0.9],
+                          [-1.8, 1.1, 0.6]], np.float32)
+    r = jnp.asarray(0.25)
+
+    def dist_of(t, c):
+        sup_a = lambda d: gjk.support_hull(CUBE + t, d)
+        sup_b = lambda d: gjk.support_sphere(c, r, d)
+        return gjk.closest_points(sup_a, sup_b, c - t, iters=32)[3]
+
+    for c in centers:
+        c = jnp.asarray(c)
+        g = jax.grad(lambda t: dist_of(t, c))(jnp.zeros(3))
+        # central differences (fp32: h large enough to dominate roundoff)
+        h = 1e-3
+        fd = np.zeros(3)
+        for k in range(3):
+            e = np.zeros(3, np.float32)
+            e[k] = h
+            fd[k] = (float(dist_of(jnp.asarray(e), c))
+                     - float(dist_of(jnp.asarray(-e), c))) / (2 * h)
+        np.testing.assert_allclose(np.asarray(g), fd, atol=2e-3)
+        # envelope identity: ∂dist/∂t equals the contact normal (GJK's
+        # smooth-contact convergence is linear, hence the ~1e-3 band)
+        _, _, n, _, _ = gjk.closest_points(
+            lambda d: gjk.support_hull(CUBE, d),
+            lambda d: gjk.support_sphere(c, r, d), c, iters=32)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(n), atol=2e-3)
+    # ∂s/∂verts path: tie-averaged selection tangent (non-zero verts
+    # tangent exercises the non-symbolic-zero branch of the rule)
+    jvp_out = jax.jvp(lambda v: gjk.support_hull(v, jnp.asarray([1., 0, 0])),
+                      (CUBE,), (jnp.ones_like(CUBE),))[1]
+    np.testing.assert_allclose(np.asarray(jvp_out), np.ones(3), atol=1e-6)
+
+
 def test_capsule_capsule_matches_closed_form():
     """GJK on two capsules == the closed-form clamped-segment query."""
     rng = np.random.default_rng(0)
