@@ -22,10 +22,11 @@ def main():
     ap.add_argument("--every", type=int, default=4,
                     help="render every Nth control tick")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--geometry", choices=["capsule", "hull"],
+    ap.add_argument("--geometry", choices=["capsule", "hull", "visual"],
                     default="capsule",
                     help="hull: draw links as their exact mesh-hull "
-                         "collision geometry (the reference GUI's meshes)")
+                         "collision geometry; visual: draw the reference's "
+                         "actual OBJ visual meshes (the PyBullet GUI view)")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__),
                                                   "results"))
     args = ap.parse_args()

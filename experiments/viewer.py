@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-realtime", action="store_true",
                     help="step as fast as possible instead of wall-clock rate")
+    ap.add_argument("--geometry", choices=["capsule", "hull", "visual"],
+                    default="capsule",
+                    help="hull: exact mesh-hull collision geometry; visual: "
+                         "the reference's OBJ visual meshes (PyBullet GUI "
+                         "view)")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +46,7 @@ def main():
 
     SimViewer(envs.make(args.env), host=args.host, port=args.port,
               width=args.width, height=args.height,
-              realtime=not args.no_realtime).serve()
+              realtime=not args.no_realtime, geometry=args.geometry).serve()
 
 
 if __name__ == "__main__":

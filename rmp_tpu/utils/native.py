@@ -50,6 +50,21 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.rmp_render_frame_hulls.restype = None
+    if hasattr(lib, "rmp_render_frame_meshes"):
+        lib.rmp_render_frame_meshes.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,        # capsules
+            ctypes.POINTER(ctypes.c_float),                      # verts
+            ctypes.POINTER(ctypes.c_float),                      # normals
+            ctypes.POINTER(ctypes.c_int32),                      # tris
+            ctypes.POINTER(ctypes.c_int32),                      # v_off
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,        # t_off, n
+            ctypes.POINTER(ctypes.c_int32),                      # inst_mesh
+            ctypes.POINTER(ctypes.c_float),                      # inst_pose
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,        # color, n
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.rmp_render_frame_meshes.restype = None
     _LIB = lib
     return lib
 
@@ -57,6 +72,13 @@ def _load():
 def hulls_available() -> bool:
     try:
         return hasattr(_load(), "rmp_render_frame_hulls")
+    except Exception:
+        return False
+
+
+def meshes_available() -> bool:
+    try:
+        return hasattr(_load(), "rmp_render_frame_meshes")
     except Exception:
         return False
 
@@ -116,7 +138,79 @@ def render_hulls(capsules: np.ndarray, planes: np.ndarray,
     return out
 
 
+def render_meshes(capsules: np.ndarray, scene_pack: dict,
+                  inst_pose: np.ndarray, camera: np.ndarray,
+                  width: int = 320, height: int = 240) -> np.ndarray:
+    """Ray-trace capsules PLUS rigid triangle-mesh instances (BVH path).
+    scene_pack: the cached concatenated mesh library from _visual_scene;
+    inst_pose: (n_inst, 12) [R row-major | t] world poses."""
+    lib = _load()
+    if not hasattr(lib, "rmp_render_frame_meshes"):
+        raise RuntimeError(
+            "libtinyrender.so is stale (no rmp_render_frame_meshes symbol) "
+            "and could not be rebuilt; run `make -C native`")
+    caps = np.ascontiguousarray(capsules, dtype=np.float32).reshape(-1, 10)
+    pose = np.ascontiguousarray(inst_pose, dtype=np.float32)
+    assert pose.ndim == 2 and pose.shape[1] == 12
+    assert pose.shape[0] == len(scene_pack["inst_mesh"])
+    cam = np.ascontiguousarray(camera, dtype=np.float32)
+    assert cam.shape == (7,)
+    out = np.empty((height, width, 3), dtype=np.uint8)
+
+    def fp(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    lib.rmp_render_frame_meshes(
+        fp(caps), len(caps),
+        fp(scene_pack["verts"]), fp(scene_pack["normals"]),
+        ip(scene_pack["tris"]), ip(scene_pack["v_off"]),
+        ip(scene_pack["t_off"]), len(scene_pack["v_off"]) - 1,
+        ip(scene_pack["inst_mesh"]), fp(pose),
+        fp(scene_pack["inst_color"]), len(pose),
+        fp(cam), width, height,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
 _PLANE_CACHE: dict = {}
+_MESH_CACHE: dict = {}
+
+_ROBOT_RGB = (0.85, 0.85, 0.88)    # visual meshes: the reference's white
+
+
+def _visual_scene(model):
+    """Cached concatenated mesh-library arrays for render_meshes, plus the
+    per-instance frame indices (-1 = identity base pose), or None when the
+    robot has no visual asset (models/meshes.py)."""
+    key = (model.name, tuple(model.link_names))
+    if key in _MESH_CACHE:
+        return _MESH_CACHE[key]
+    from rmp_tpu.models.meshes import visual_meshes_for
+    loaded = visual_meshes_for(model)
+    pack = None
+    if loaded is not None:
+        meshes, instances = loaded
+        v_off = np.cumsum([0] + [len(m["verts"]) for m in meshes])
+        t_off = np.cumsum([0] + [len(m["tris"]) for m in meshes])
+        pack = dict(
+            verts=np.ascontiguousarray(
+                np.concatenate([m["verts"] for m in meshes]), np.float32),
+            normals=np.ascontiguousarray(
+                np.concatenate([m["normals"] for m in meshes]), np.float32),
+            tris=np.ascontiguousarray(
+                np.concatenate([m["tris"] for m in meshes]), np.int32),
+            v_off=v_off.astype(np.int32), t_off=t_off.astype(np.int32),
+            inst_mesh=np.asarray([m for m, _ in instances], np.int32),
+            inst_frame=np.asarray([f for _, f in instances], np.int32),
+            inst_color=np.ascontiguousarray(
+                np.tile(np.asarray([_ROBOT_RGB], np.float32),
+                        (len(instances), 1))),
+        )
+    _MESH_CACHE[key] = pack
+    return pack
 
 
 def _hull_planes_local(model):
@@ -150,14 +244,18 @@ def render_scene_native(model, state, goal=None, camera=None,
     goal). camera: dict(eye, target, fov) or None for the default orbit.
 
     geometry='hull' draws the robot links as their EXACT convex-hull
-    collision geometry (models/hulls.py — the decimated reference meshes),
-    the visual counterpart of the OBJ meshes the reference's PyBullet GUI
-    shows (reference simulation.py:296-300); falls back to capsules when
-    the robot has no hull asset."""
+    collision geometry (models/hulls.py — the decimated reference meshes);
+    geometry='visual' draws the reference's actual OBJ visual triangle
+    meshes (models/meshes.py, what the reference's PyBullet GUI shows —
+    reference simulation.py:296-300). Both fall back to capsules when the
+    robot has no matching asset."""
     from rmp_tpu.models import kinematics as K
     from rmp_tpu.sim.collision import link_world_capsules_all
 
     T_all = np.asarray(K.fk_all(model, state.q))
+    mesh_pack = None
+    if geometry == "visual":
+        mesh_pack = _visual_scene(model) if meshes_available() else None
     hull_planes = None
     if geometry == "hull":
         local = _hull_planes_local(model) if hulls_available() else None
@@ -175,7 +273,7 @@ def render_scene_native(model, state, goal=None, camera=None,
     p0, p1, radius, _ = link_world_capsules_all(model, T_all)
     p0, p1, radius = (np.asarray(v) for v in (p0, p1, radius))
     rows = []
-    if hull_planes is None:
+    if hull_planes is None and mesh_pack is None:
         for a, b, r in zip(p0, p1, radius):
             rows.append([*a, *b, r, 0.25, 0.45, 0.8])       # robot: blue
     if state.obstacles is not None:
@@ -196,6 +294,15 @@ def render_scene_native(model, state, goal=None, camera=None,
                          dtype=np.float32)
     caps_arr = (np.asarray(rows, dtype=np.float32) if rows
                 else np.zeros((0, 10), np.float32))
+    if mesh_pack is not None:
+        poses = []
+        for f in mesh_pack["inst_frame"]:
+            T = np.eye(4, dtype=np.float32) if f < 0 else T_all[f]
+            poses.append(np.concatenate(
+                [np.asarray(T[:3, :3], np.float32).reshape(-1),
+                 np.asarray(T[:3, 3], np.float32)]))
+        return render_meshes(caps_arr, mesh_pack, np.stack(poses), cam_arr,
+                             width, height)
     if hull_planes is not None:
         colors = np.tile(np.asarray([[0.25, 0.45, 0.8]], np.float32),
                          (len(hull_planes), 1))

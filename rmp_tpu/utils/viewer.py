@@ -73,7 +73,7 @@ class SimViewer:
 
     def __init__(self, env, host: str = "127.0.0.1", port: int = 8777,
                  width: int = 480, height: int = 360,
-                 realtime: bool = True):
+                 realtime: bool = True, geometry: str = "capsule"):
         import jax
 
         from rmp_tpu import envs as envs_mod
@@ -82,6 +82,7 @@ class SimViewer:
         self.env = env
         self.width, self.height = width, height
         self.realtime = realtime
+        self.geometry = geometry      # render geometry: capsule/hull/visual
         self.camera = camera_for(env.name)
         self._step = jax.jit(envs_mod.make_control_step(env))
         self._params = env.gather_params()
@@ -106,7 +107,8 @@ class SimViewer:
         if native.available():
             rgb = native.render_scene_native(
                 self.env.model, state.sim, camera=eye_target(cam),
-                width=self.width, height=self.height)
+                width=self.width, height=self.height,
+                geometry=self.geometry)
         else:
             rgb = render_scene(self.env.model, state.sim)
         return encode_png(np.asarray(rgb, np.uint8))

@@ -174,6 +174,87 @@ def test_native_renderer_hull_geometry():
         assert 0.0 < diff.mean() < 0.25, model.name
 
 
+def test_native_renderer_visual_meshes():
+    """geometry='visual' draws the reference's actual OBJ visual meshes
+    (assets/panda_visual.npz, BVH path in tinyrender.cpp): the mesh render
+    differs from the capsule render (white meshes vs blue capsules over the
+    same pose) but the robot silhouette stays in the same image region."""
+    from rmp_tpu.models.meshes import visual_meshes_for
+    from rmp_tpu.utils import native
+    if not (native.available() and native.meshes_available()):
+        pytest.skip("no C++ toolchain / stale library")
+    from rmp_tpu.envs.franka import cluttered_obstacles
+    from rmp_tpu.sim.world import init_state
+
+    model = robots.franka_panda()
+    loaded = visual_meshes_for(model)
+    assert loaded is not None, "panda visual asset missing"
+    meshes, instances = loaded
+    # 11 asset links (link0-7, hand, 2 fingers); 10 posed by frames + the
+    # base at the identity (frame -1)
+    assert len(meshes) == 11 and len(instances) == 11
+    assert sorted(f for _, f in instances)[0] == -1
+    assert sum(f >= 0 for _, f in instances) == 10
+    for m in meshes:
+        used = np.unique(m["tris"])    # OBJs may carry unreferenced verts
+        n = np.linalg.norm(m["normals"][used], axis=-1)
+        # area-weighted sums can cancel at isolated fold vertices — allow
+        # a tiny fraction of degenerate (near-zero) normals
+        assert (np.abs(n - 1.0) < 1e-3).mean() > 0.999
+
+    state = init_state(model, q=robots.PANDA_Q_READY,
+                       obstacles=cluttered_obstacles(), goal=[0.2, -0.2, 0.5])
+    vis = native.render_scene_native(model, state, width=96, height=72,
+                                     geometry="visual")
+    cap = native.render_scene_native(model, state, width=96, height=72)
+    assert vis.shape == (72, 96, 3)
+    assert vis.reshape(-1, 3).std(0).mean() > 1.0
+    diff = (np.abs(vis.astype(int) - cap.astype(int)).sum(-1) > 10)
+    assert 0.0 < diff.mean() < 0.25
+    # the dual-arm composition resolves every prefixed link through the
+    # alias — all 22 instances posed by frames, none at the identity
+    dual = robots.dual_panda()
+    _, dual_inst = visual_meshes_for(dual)
+    assert len(dual_inst) == 22 and all(f >= 0 for _, f in dual_inst)
+
+
+def test_native_mesh_ray_trace_geometry():
+    """Pin the BVH ray tracer's geometry on a synthetic scene: a rotated
+    unit cube at a known world pose must shade the image center with its
+    instance color and leave a corner pixel as sky."""
+    from rmp_tpu.utils import native
+    if not (native.available() and native.meshes_available()):
+        pytest.skip("no C++ toolchain / stale library")
+
+    # unit cube centered at origin, 12 triangles, outward normals
+    v = np.array([[x, y, z] for x in (-.5, .5) for y in (-.5, .5)
+                  for z in (-.5, .5)], np.float32)
+    tris = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],   # x faces
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],   # y faces
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],   # z faces
+    ], np.int32)
+    from rmp_tpu.models.meshes import _vertex_normals
+    pack = dict(verts=v, normals=_vertex_normals(v, tris).astype(np.float32),
+                tris=tris, v_off=np.array([0, 8], np.int32),
+                t_off=np.array([0, 12], np.int32),
+                inst_mesh=np.array([0], np.int32),
+                inst_color=np.array([[1.0, 0.1, 0.1]], np.float32))
+    th = 0.4
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    pose = np.concatenate([R.reshape(-1),
+                           np.array([0, 0, 2.0], np.float32)])[None]
+    cam = np.array([0, -3.0, 2.0, 0, 0, 2.0, 50.0], np.float32)
+    img = native.render_meshes(np.zeros((0, 10), np.float32), pack, pose,
+                               cam, width=64, height=48)
+    center = img[24, 32].astype(int)
+    corner = img[2, 2].astype(int)
+    assert center[0] > 100 and center[0] > 2 * max(center[1], center[2]), \
+        center                                     # red cube, shaded
+    assert corner[0] > 200 and corner[2] > 200, corner   # sky
+
+
 @pytest.mark.slow
 def test_sharded_checkpoint_roundtrip(tmp_path):
     """Orbax save/restore of a mesh-sharded batched EnvState."""
