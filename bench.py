@@ -80,11 +80,15 @@ def main():
 
     params = env.gather_params()
     fused = os.environ.get("RMP_BENCH_FUSED", "1") == "1" and batch % 128 == 0
+    # RMP_BENCH_TICK_UNROLL=k: scan-unroll k ticks per loop iteration
+    # (cross-tick fusion experiment; 1 = production default)
+    tick_unroll = int(os.environ.get("RMP_BENCH_TICK_UNROLL", "1"))
     states = envs.make_batched_reset(env, batch)(jax.random.PRNGKey(0))
     # with_aux=False: throughput consumers only read the final state; the
     # per-tick aux stacking + (T,B)->(B,T) transpose measured ~6% device time
     rollout = jax.jit(lambda s, p: envs.make_batched_rollout(
-        env, ticks, fused_resolve=fused, with_aux=False)(s, p))
+        env, ticks, fused_resolve=fused, with_aux=False,
+        tick_unroll=tick_unroll)(s, p))
 
     # compile + warmup
     t0 = time.perf_counter()

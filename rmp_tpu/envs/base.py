@@ -466,7 +466,7 @@ def make_batched_reset(env: Env, batch: int):
 
 
 def _scan_with_invariant_carry(step_fn, state, n_ticks, with_aux,
-                               probe_fn=None):
+                               probe_fn=None, unroll: int = 1):
     """lax.scan over ticks with loop-INVARIANT state leaves hoisted out of
     the carry. Leaves the step passes through untouched (static obstacle
     sets, fixed scene data — jax forwards the identical tracer, detected
@@ -496,7 +496,7 @@ def _scan_with_invariant_carry(step_fn, state, n_ticks, with_aux,
         return [out[k] for k in var_idx], aux if with_aux else None
 
     final_var, aux = jax.lax.scan(body, [flat[k] for k in var_idx], None,
-                                  length=n_ticks)
+                                  length=n_ticks, unroll=unroll)
     leaves = list(flat)
     for k, leaf in zip(var_idx, final_var):
         leaves[k] = leaf
@@ -504,7 +504,8 @@ def _scan_with_invariant_carry(step_fn, state, n_ticks, with_aux,
 
 
 def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False,
-                         with_aux: bool = True, remat: bool = False):
+                         with_aux: bool = True, remat: bool = False,
+                         tick_unroll: int = 1):
     """Batched rollout: params shared across the batch, state batched.
 
     fused_resolve=True resolves the whole batch at once per tick
@@ -514,7 +515,11 @@ def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False,
     with_aux=False returns (final_state, None) and skips the per-tick aux
     stacking + the (T, B)->(B, T) layout transpose entirely — the transpose
     alone was 6.2% of flagship device time (trace_report --by-source), pure
-    overhead for throughput consumers that only read the final state."""
+    overhead for throughput consumers that only read the final state.
+
+    tick_unroll: lax.scan unroll factor over TICKS (fused path) — gives XLA
+    a k-tick basic block to fuse across tick boundaries (per-op-overhead
+    experiments; client trace cost is unchanged, HLO grows ~k-fold)."""
     if fused_resolve:
         raw_step = make_batched_control_step(env)
         step = jax.checkpoint(raw_step) if remat else raw_step
@@ -527,7 +532,8 @@ def make_batched_rollout(env: Env, n_ticks: int, fused_resolve: bool = False,
                 states = _seed_gjk_warm(env, states)
             final, aux = _scan_with_invariant_carry(
                 lambda s: step(s, params), states, n_ticks, with_aux,
-                probe_fn=lambda s: raw_step(s, params))
+                probe_fn=lambda s: raw_step(s, params),
+                unroll=tick_unroll)
             if not with_aux:
                 return final, None
             # match the vmapped path's aux layout: leading env axis (B, T, ...)
