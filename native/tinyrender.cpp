@@ -36,6 +36,10 @@ static inline Vec3 normalize(Vec3 a) {
   return n > 1e-12f ? (1.0f / n) * a : Vec3{0, 0, 1};
 }
 
+// r < 0 tags a FLAT-capped cylinder of radius -r (internal convention with
+// utils/native.py: the scene's cylinder obstacles — ObstacleSet.kinds —
+// render with their true flat caps, as in the reference GUI, instead of
+// the capsule's hemispherical bulge)
 struct Capsule {
   Vec3 p0, p1;
   float r;
@@ -50,6 +54,28 @@ static inline float sd_capsule(Vec3 p, const Capsule& c) {
   float h = bb > 1e-12f ? std::clamp(dot(pa, ba) / bb, 0.0f, 1.0f) : 0.0f;
   Vec3 d = pa - h * ba;
   return norm(d) - c.r;
+}
+
+// exact signed distance to a flat-capped cylinder (axis p0->p1, radius r)
+static inline float sd_cylinder(Vec3 p, const Capsule& c) {
+  float r = -c.r;
+  Vec3 ba = c.p1 - c.p0;
+  Vec3 pa = p - c.p0;
+  float baba = dot(ba, ba);
+  if (baba < 1e-12f) return norm(pa) - r;
+  float paba = dot(pa, ba);
+  float x = norm(baba * pa - paba * ba) - r * baba;
+  float y = std::fabs(paba - baba * 0.5f) - baba * 0.5f;
+  float x2 = x * x;
+  float y2 = y * y * baba;
+  float d = (std::max(x, y) < 0.0f)
+                ? -std::min(x2, y2)
+                : ((x > 0.0f ? x2 : 0.0f) + (y > 0.0f ? y2 : 0.0f));
+  return (d < 0.0f ? -1.0f : 1.0f) * std::sqrt(std::fabs(d)) / baba;
+}
+
+static inline float sd_prim(Vec3 p, const Capsule& c) {
+  return c.r < 0.0f ? sd_cylinder(p, c) : sd_capsule(p, c);
 }
 
 // convex polytope as intersection of half-spaces n.x <= d: the signed
@@ -317,7 +343,7 @@ static inline float scene_sd(const Scene& s, Vec3 p, int* id) {
   float best = p.z;  // ground plane z = 0
   *id = -1;
   for (int i = 0; i < s.n; ++i) {
-    float d = sd_capsule(p, s.caps[i]);
+    float d = sd_prim(p, s.caps[i]);
     if (d < best) {
       best = d;
       *id = i;
@@ -345,6 +371,13 @@ static inline Vec3 scene_normal(const Scene& s, Vec3 p, int id) {
     return {pl[0], pl[1], pl[2]};
   }
   const Capsule& c = s.caps[id];
+  if (c.r < 0.0f) {  // flat-capped cylinder: central-difference gradient
+    const float e = 5e-4f;
+    return normalize(
+        {sd_cylinder(p + Vec3{e, 0, 0}, c) - sd_cylinder(p - Vec3{e, 0, 0}, c),
+         sd_cylinder(p + Vec3{0, e, 0}, c) - sd_cylinder(p - Vec3{0, e, 0}, c),
+         sd_cylinder(p + Vec3{0, 0, e}, c) - sd_cylinder(p - Vec3{0, 0, e}, c)});
+  }
   Vec3 pa = p - c.p0;
   Vec3 ba = c.p1 - c.p0;
   float bb = dot(ba, ba);
@@ -490,6 +523,11 @@ void rmp_render_frame_hulls(const float* capsules, int n,
   delete[] caps;
   delete[] hulls;
 }
+
+// feature probe: negative-radius capsule rows tag flat-capped cylinders
+// (see Capsule); lets utils/native.py degrade to all-capsule rendering on
+// a stale prebuilt library without the tag semantics
+int rmp_has_cylinder_rows(void) { return 1; }
 
 // Capsules PLUS rigid triangle-mesh instances — the visual counterpart of
 // the reference's OBJ meshes in the PyBullet GUI (reference

@@ -83,6 +83,13 @@ def meshes_available() -> bool:
         return False
 
 
+def cylinder_rows_available() -> bool:
+    try:
+        return hasattr(_load(), "rmp_has_cylinder_rows")
+    except Exception:
+        return False
+
+
 def available() -> bool:
     try:
         _load()
@@ -277,10 +284,16 @@ def render_scene_native(model, state, goal=None, camera=None,
         for a, b, r in zip(p0, p1, radius):
             rows.append([*a, *b, r, 0.25, 0.45, 0.8])       # robot: blue
     if state.obstacles is not None:
-        for a, b, r in zip(np.asarray(state.obstacles.p0),
-                           np.asarray(state.obstacles.p1),
-                           np.asarray(state.obstacles.radius)):
-            rows.append([*a, *b, r, 0.35, 0.35, 0.35])      # obstacles: grey
+        kinds = state.obstacles.kinds
+        # negative radius tags a FLAT-capped cylinder for the native
+        # renderer (internal row convention; feature-probed so a stale
+        # library still renders everything as capsules)
+        tag_cyl = kinds is not None and cylinder_rows_available()
+        for k, (a, b, r) in enumerate(zip(np.asarray(state.obstacles.p0),
+                                          np.asarray(state.obstacles.p1),
+                                          np.asarray(state.obstacles.radius))):
+            rr = -r if tag_cyl and kinds[k] == "cylinder" else r
+            rows.append([*a, *b, rr, 0.35, 0.35, 0.35])     # obstacles: grey
     gp = None
     if goal is not None:
         gp = np.asarray(getattr(goal, "base_position", goal))

@@ -218,6 +218,29 @@ def test_native_renderer_visual_meshes():
     assert len(dual_inst) == 22 and all(f >= 0 for _, f in dual_inst)
 
 
+def test_native_cylinder_rows_flat_caps():
+    """Negative-radius rows render FLAT-capped cylinders (the scene's
+    cylinder obstacles, ObstacleSet.kinds): same axis/radius as a capsule
+    but without the hemispherical end bulges, so its silhouette is strictly
+    smaller and still non-empty."""
+    from rmp_tpu.utils import native
+    if not (native.available() and native.cylinder_rows_available()):
+        pytest.skip("no C++ toolchain / stale library")
+    cam = np.array([1.5, -1.5, 0.8, 0.0, 0.0, 0.4, 45.0], np.float32)
+    row = [0.0, 0.0, 0.15, 0.0, 0.0, 0.65, 0.12, 0.3, 0.3, 0.9]
+    caps = np.asarray([row], np.float32)
+    cyl = caps.copy()
+    cyl[0, 6] = -cyl[0, 6]
+    img_cap = native.render_capsules(caps, cam, 160, 120)
+    img_cyl = native.render_capsules(cyl, cam, 160, 120)
+
+    def prim_px(im):
+        return int((im[..., 2].astype(int) > im[..., 0].astype(int) + 30)
+                   .sum())
+
+    assert 0 < prim_px(img_cyl) < prim_px(img_cap)
+
+
 def test_native_mesh_ray_trace_geometry():
     """Pin the BVH ray tracer's geometry on a synthetic scene: a rotated
     unit cube at a known world pose must shade the image center with its
