@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--geometry", choices=("capsule", "hull"),
                     default="capsule", help="link collision geometry")
+    ap.add_argument("--save", type=str, default=None, metavar="TRAJ.NPZ",
+                    help="dump the trajectory (t, q, qd, goal, ee, "
+                         "solved_count per tick) to an .npz")
     args = ap.parse_args()
 
     if args.cpu:
@@ -55,9 +58,18 @@ def main():
     params = env.gather_params()
 
     frames = []
+    traj: dict[str, list] = {k: [] for k in ("q", "qd", "goal", "ee",
+                                             "solved_count")}
     t0 = time.perf_counter()
     for tick in range(args.ticks):
         state, aux = step(state, params)
+        if args.save:
+            traj["q"].append(np.asarray(state.sim.q))
+            traj["qd"].append(np.asarray(state.sim.qd))
+            if state.sim.goal is not None:
+                traj["goal"].append(np.asarray(state.sim.goal))
+                traj["ee"].append(np.asarray(ee_position(env, state.sim)))
+            traj["solved_count"].append(int(state.solved_count))
         if args.gif and tick % 2 == 0:   # ~5 fps of control ticks
             from rmp_tpu.utils.render import render_scene
             frames.append(render_scene(env.model, state.sim))
@@ -78,6 +90,14 @@ def main():
         from rmp_tpu.utils.render import save_gif
         save_gif(frames, args.gif)
         print(f"wrote {args.gif} ({len(frames)} frames)")
+
+    if args.save:
+        tick_dt = env.dt * env.control_every
+        np.savez_compressed(
+            args.save,
+            t=np.arange(1, args.ticks + 1, dtype=np.float32) * tick_dt,
+            **{k: np.stack(v) for k, v in traj.items() if v})
+        print(f"wrote {args.save} ({args.ticks} ticks)")
 
 
 if __name__ == "__main__":
