@@ -80,9 +80,14 @@ def main():
 
     params = env.gather_params()
     fused = os.environ.get("RMP_BENCH_FUSED", "1") == "1" and batch % 128 == 0
-    # RMP_BENCH_TICK_UNROLL=k: scan-unroll k ticks per loop iteration
-    # (cross-tick fusion experiment; 1 = production default)
-    tick_unroll = int(os.environ.get("RMP_BENCH_TICK_UNROLL", "1"))
+    # RMP_BENCH_TICK_UNROLL=k: scan-unroll k ticks per loop iteration —
+    # XLA fuses across tick boundaries, which is the remaining axis in the
+    # per-op-overhead regime (roofline: ~16% HBM peak). Measured same-chip
+    # same-session: k=1 11.78M, k=2 13.14M, k=4 13.55M, k=8 13.62M
+    # steps/s — k=4 is the default (nearly all of the win at half of k=8's
+    # HLO growth / compile cost). Numerics are identical (scan unrolling,
+    # not a program change; bit-match pinned by test_envs.py).
+    tick_unroll = int(os.environ.get("RMP_BENCH_TICK_UNROLL", "4"))
     states = envs.make_batched_reset(env, batch)(jax.random.PRNGKey(0))
     # with_aux=False: throughput consumers only read the final state; the
     # per-tick aux stacking + (T,B)->(B,T) transpose measured ~6% device time

@@ -317,6 +317,23 @@ def test_with_aux_false_matches_final_state():
                                       np.asarray(fb.sim.q))
 
 
+def test_tick_unroll_matches_unroll1():
+    """tick_unroll=k is a scan-unroll knob, not a program change: the fused
+    rollout must be bit-identical to tick_unroll=1, including a tick count
+    NOT divisible by k (scan's remainder handling) and the stacked aux."""
+    env = envs.make("two_joint/01_target_rmp_only")
+    states = envs.make_batched_reset(env, 128)(jax.random.PRNGKey(1))
+    params = env.gather_params()
+    f1, aux1 = jax.jit(envs.make_batched_rollout(
+        env, 6, fused_resolve=True))(states, params)
+    f4, aux4 = jax.jit(envs.make_batched_rollout(
+        env, 6, fused_resolve=True, tick_unroll=4))(states, params)
+    np.testing.assert_array_equal(np.asarray(f1.sim.q), np.asarray(f4.sim.q))
+    np.testing.assert_array_equal(np.asarray(f1.sim.qd), np.asarray(f4.sim.qd))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), aux1, aux4)
+
+
 def test_invariant_carry_hoist_matches_plain_scan():
     """_scan_with_invariant_carry == a plain lax.scan, on BOTH a static
     scene (obstacles hoisted out of the carry) and a moving-obstacle scene
