@@ -91,6 +91,8 @@ def main():
     ap.add_argument("--geometry", choices=("capsule", "hull"),
                     default="capsule")
     ap.add_argument("--env", default="franka/06_cluttered_environment")
+    ap.add_argument("--tick-unroll", type=int, default=4,
+                    help="tick-scan unroll factor (bench default: 4)")
     args = ap.parse_args()
 
     import jax
@@ -106,8 +108,8 @@ def main():
     env.collision_geometry = args.geometry
     params = env.gather_params()
     states = envs.make_batched_reset(env, args.batch)(jax.random.PRNGKey(0))
-    rollout = jax.jit(envs.make_batched_rollout(env, args.ticks,
-                                                fused_resolve=True))
+    rollout = jax.jit(envs.make_batched_rollout(
+        env, args.ticks, fused_resolve=True, tick_unroll=args.tick_unroll))
     import contextlib
     interp = contextlib.nullcontext()
     if args.cpu:
