@@ -5,3 +5,4 @@ from rmp_tpu.policies.v1 import (collision_avoidance,  # noqa: F401
 from rmp_tpu.policies.v2 import (cspace_biasing, joint_damping,  # noqa: F401
                                  joint_velocity_cap, obstacle_avoidance,
                                  target_attractor)
+from rmp_tpu.policies.neural import (mlp_init, neural_attractor)  # noqa: F401

@@ -1,0 +1,117 @@
+"""Learned RMP leaves: MLP-parameterized (accel, metric) policies.
+
+Beyond-reference capability. The reference's policies are hand-designed
+closed forms (rmp.py:226-382, rmp2.py:31-226) with constructor-constant
+gains; its PyBullet C++ `stepSimulation` blocks autodiff, so a learned leaf
+was structurally impossible there. Here policy params are traced pytree
+leaves and the batched rollout differentiates end-to-end (FK -> taskmaps ->
+pullback/resolve -> integrator, see experiments/tune_gains.py), so an MLP
+leaf trains with jax.grad straight through the physics — the RMP2-style
+"learnable motion policy" extension, TPU-native.
+
+Design rules inherited from the framework:
+  * the metric head emits a CHOLESKY factor (softplus-positive diagonal),
+    so the learned metric is symmetric PSD by construction — the combined
+    pullback Gram matrix stays resolvable no matter where training wanders;
+  * the accel head is tanh-bounded and scaled, so an untrained/diverging
+    net cannot command unbounded accelerations (the env's max_qdd guard
+    stays a backstop, not the primary safety);
+  * all shapes are static; params flow through Env.gather_params like any
+    hand-designed policy's, so goal binding (bind_goal), the grid sweep
+    (experiments/sweep_randomized.py) and gradient tuning all apply
+    unchanged.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rmp_tpu.ops import geom
+from rmp_tpu.policies.base import Policy
+
+
+def mlp_init(key, sizes: tuple) -> dict:
+    """Glorot-uniform MLP params {'w0','b0',...} for layer widths `sizes`."""
+    net = {}
+    keys = jax.random.split(key, len(sizes) - 1)
+    for i, (n_in, n_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+        lim = float(np.sqrt(6.0 / (n_in + n_out)))
+        net[f"w{i}"] = jax.random.uniform(
+            keys[i], (n_in, n_out), jnp.float32, -lim, lim)
+        net[f"b{i}"] = jnp.zeros((n_out,), jnp.float32)
+    return net
+
+
+def mlp_apply(net: dict, h):
+    """tanh-MLP forward; linear final layer. Batched over leading dims."""
+    n_layers = len(net) // 2
+    for i in range(n_layers):
+        h = h @ net[f"w{i}"] + net[f"b{i}"]
+        if i + 1 < n_layers:
+            h = jnp.tanh(h)
+    return h
+
+
+def _chol_from_raw(raw, d: int):
+    """(..., d + d(d-1)/2) raw entries -> (..., d, d) lower-triangular L
+    with softplus-positive diagonal. Scatter-free: the strict-lower entries
+    are placed by contracting with a CONSTANT basis tensor (scatter ops in
+    hot graphs are a measured ~280 s compile cliff, CLAUDE.md)."""
+    diag = jax.nn.softplus(raw[..., :d])                       # (..., d)
+    rows, cols = np.tril_indices(d, k=-1)
+    basis = np.zeros((len(rows), d, d), np.float32)
+    basis[np.arange(len(rows)), rows, cols] = 1.0              # constant
+    L = jnp.einsum("...k,kij->...ij", raw[..., d:], jnp.asarray(basis))
+    L = L + diag[..., :, None] * jnp.eye(d, dtype=raw.dtype)
+    return L
+
+
+def _neural_attractor_accel_metric(params, x, xd, ctx):
+    del ctx
+    d = x.shape[-1]
+    feats = jnp.concatenate([params["goal"] - x, xd], axis=-1)   # (P, 2d)
+    # feat_scale keeps workspace-scale inputs (meters, rad/s) inside the
+    # tanh layers' linear range — unscaled, long-horizon training saturates
+    # the first layer and plateaus (measured: 80-tick runs stall at a
+    # goal-independent policy)
+    out = mlp_apply(params["net"], feats / params["feat_scale"])
+    a = params["accel_scale"] * jnp.tanh(out[..., :d])
+    L = _chol_from_raw(out[..., d:], d)
+    M = geom.mm(L, jnp.swapaxes(L, -1, -2))
+    eye = jnp.eye(d, dtype=x.dtype)
+    M = params["metric_scale"] * (M + params["metric_eps"] * eye)
+    return a, M
+
+
+def head_sizes(d: int) -> int:
+    """MLP output width for a d-dim task space: accel d + Cholesky
+    d (diag) + d(d-1)/2 (strict lower)."""
+    return d + d + d * (d - 1) // 2
+
+
+def neural_attractor(goal, taskmap, net: dict, accel_scale: float = 4.0,
+                     metric_scale: float = 1.0, metric_eps: float = 0.05,
+                     feat_scale=None, name: str = "neural_target") -> Policy:
+    """Learned goal attractor on `taskmap` (task dim d inferred from goal).
+
+    `net` comes from mlp_init(key, (2*d, *hidden, head_sizes(d))); the
+    weights live in params['net'] so Env.gather_params exposes them to
+    optimizers directly (see experiments/train_neural_rmp.py).
+    """
+    goal = jnp.asarray(goal, jnp.float32)
+    d = goal.shape[-1]
+    w_last = net[f"w{len(net) // 2 - 1}"]
+    if int(w_last.shape[-1]) != head_sizes(d):
+        raise ValueError(
+            f"net output width {int(w_last.shape[-1])} != head_sizes({d}) "
+            f"= {head_sizes(d)}")
+    if feat_scale is None:
+        feat_scale = np.ones(2 * d, np.float32)
+    params = dict(goal=goal, net=net,
+                  accel_scale=jnp.asarray(accel_scale, jnp.float32),
+                  metric_scale=jnp.asarray(metric_scale, jnp.float32),
+                  metric_eps=jnp.asarray(metric_eps, jnp.float32),
+                  feat_scale=jnp.asarray(feat_scale, jnp.float32))
+    return Policy(name, taskmap, _neural_attractor_accel_metric, params)

@@ -1,0 +1,83 @@
+"""Learned (MLP) RMP leaves: PSD metric by construction, env integration,
+and end-to-end training through the differentiable rollout.
+
+(Beyond-reference capability — the reference's policies are fixed closed
+forms, rmp.py:226-382 / rmp2.py:31-226, and PyBullet blocks autodiff.)
+"""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+from rmp_tpu.policies import neural
+
+
+def test_metric_is_psd_and_symmetric():
+    """Any net output — trained or random garbage — yields a symmetric PSD
+    metric (Cholesky head), so the combined pullback stays resolvable."""
+    key = jax.random.PRNGKey(0)
+    net = neural.mlp_init(key, (6, 16, neural.head_sizes(3)))
+    pol = neural.neural_attractor(goal=[0.5, -0.5, 0.1],
+                                  taskmap=None, net=net)
+    x = jax.random.normal(jax.random.PRNGKey(1), (7, 3)) * 3.0
+    xd = jax.random.normal(jax.random.PRNGKey(2), (7, 3)) * 5.0
+    a, M = pol.evaluate(x, xd)
+    assert a.shape == (7, 3) and M.shape == (7, 3, 3)
+    np.testing.assert_allclose(np.asarray(M), np.asarray(
+        jnp.swapaxes(M, -1, -2)), atol=1e-6)
+    eigs = np.linalg.eigvalsh(np.asarray(M))
+    assert eigs.min() > 0.0, f"metric not PD: min eig {eigs.min()}"
+    # accel bounded by the tanh head
+    assert float(jnp.max(jnp.abs(a))) <= float(pol.params["accel_scale"])
+
+
+def test_head_width_validation():
+    net = neural.mlp_init(jax.random.PRNGKey(0), (6, 16, 5))  # wrong width
+    with pytest.raises(ValueError, match="head_sizes"):
+        neural.neural_attractor(goal=[0.0, 0.0, 0.0], taskmap=None, net=net)
+
+
+def test_neural_env_rollout_finite():
+    """The neural attractor runs inside the standard batched rollout
+    machinery (bind_goal, fused aux, resolve) with finite outputs."""
+    from experiments.train_neural_rmp import make_neural_env
+    from rmp_tpu import envs as envs_mod
+
+    env = make_neural_env(jax.random.PRNGKey(3))
+    states = envs_mod.make_batched_reset(env, 4)(jax.random.PRNGKey(0))
+    final, aux = jax.jit(envs_mod.make_batched_rollout(env, 3))(
+        states, env.gather_params())
+    assert np.all(np.isfinite(np.asarray(final.sim.q)))
+    assert np.all(np.isfinite(np.asarray(aux["qdd"])))
+
+
+@pytest.mark.slow
+def test_training_descends_and_beats_init():
+    """A few Adam steps through the physics strictly improve the rollout
+    loss and the mean final EE-goal distance."""
+    import optax
+
+    from experiments.train_neural_rmp import make_loss, make_neural_env
+
+    env = make_neural_env(jax.random.PRNGKey(0))
+    loss, metrics, _states, base = make_loss(env, batch=32, n_ticks=25)
+    net = base[0]["net"]
+    m0 = jax.jit(lambda n: metrics(n)[1])(net)
+    vg = jax.jit(jax.value_and_grad(loss))
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(net)
+    v_first = None
+    for _ in range(25):
+        v, g = vg(net)
+        v_first = float(v) if v_first is None else v_first
+        updates, opt_state = opt.update(g, opt_state)
+        net = optax.apply_updates(net, updates)
+    v_last = float(vg(net)[0])
+    m1 = jax.jit(lambda n: metrics(n)[1])(net)
+    assert v_last < 0.8 * v_first, (v_first, v_last)
+    assert float(m1["mean_final_dist"]) < float(m0["mean_final_dist"])
