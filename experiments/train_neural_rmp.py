@@ -11,6 +11,12 @@ blocks gradients.
 
 Usage: python experiments/train_neural_rmp.py [--steps 60] [--batch 128]
            [--ticks 50] [--cpu] [--remat] [--save weights.npz]
+
+The BPTT landscape (gradients through T ticks x 10 chained substeps) is
+multi-modal and seed-sensitive: at 256 envs x 80 ticks x 250 steps, seed 0
+plateaus at ~0.40 m mean final distance while seeds 1/2 fully solve the
+task (0.6-5 mm, 97-100% at the 2 cm tolerance). Run a few seeds and keep
+the best (the committed asset is seed 1's best-loss iterate).
 """
 import argparse
 import dataclasses
@@ -23,41 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-GOAL_LOW = (0.1, -1.4, 0.1)
-GOAL_HIGH = (1.4, 0.1, 0.1)
-
-
-def make_neural_env(key, hidden=(32, 32)):
-    """two_joint reaching env with a neural attractor + joint damping and a
-    uniformly random goal per reset (the training task distribution)."""
-    from rmp_tpu import taskmaps as tm
-    from rmp_tpu.envs.base import Env, bind_goal, env_state
-    from rmp_tpu.models import robots
-    from rmp_tpu.policies import neural, v2
-    from rmp_tpu.sim.world import init_state
-
-    model = robots.two_joint_robot()
-    taskmap = tm.chain(tm.fk_frame(model, "link_23"), tm.to_position())
-    net = neural.mlp_init(key, (6, *hidden, neural.head_sizes(3)))
-    policies = (
-        neural.neural_attractor(goal=[0.0, 0.0, 0.0], taskmap=taskmap,
-                                net=net, name="neural_target",
-                                feat_scale=[2.0, 2.0, 2.0, 5.0, 5.0, 5.0]),
-        v2.joint_damping(accel_d_gain=0.2, metric_scalar=0.2, inertia=0.1),
-    )
-    lo = jnp.asarray(GOAL_LOW, jnp.float32)
-    hi = jnp.asarray(GOAL_HIGH, jnp.float32)
-
-    def reset(k):
-        kg, ks = jax.random.split(k)
-        goal = jax.random.uniform(kg, (3,), minval=lo, maxval=hi)
-        sim = init_state(model, q=robots.TWO_JOINT_Q_READY, goal=goal)
-        return env_state(sim, ks)
-
-    return Env(name="two_joint/neural_reach", model=model, policies=policies,
-               reset=reset, ee_frame=model.frame_index("link_23"),
-               solved_xy_only=True, resolve_method="cholesky",
-               bind_params=bind_goal(("neural_target",)))
+from rmp_tpu.envs.neural_reach import make_neural_env  # noqa: E402,F401
+# (the env builder lives in rmp_tpu.envs.neural_reach so the trained asset
+# registers as a first-class scenario, two_joint/neural_reach)
 
 
 def make_loss(env, batch: int, n_ticks: int, seed: int = 0,
@@ -152,8 +126,14 @@ def main():
     opt = optax.adam(sched) if args.clip <= 0 else optax.chain(
         optax.clip_by_global_norm(args.clip), optax.adam(sched))
     opt_state = opt.init(net)
+    # keep the best-loss weights: BPTT through 10*T chained substeps is a
+    # chaotic landscape (late steps can jump basins even at decayed lr), so
+    # the final iterate is not the best one
+    best_val, best_net = float("inf"), net
     for step in range(args.steps):
         val, grad = vg(net)
+        if float(val) < best_val:
+            best_val, best_net = float(val), net
         updates, opt_state = opt.update(grad, opt_state)
         net = optax.apply_updates(net, updates)
         if step % 10 == 0 or step == args.steps - 1:
@@ -162,9 +142,14 @@ def main():
                   f"mean_final_dist {float(m['mean_final_dist']):.4f} m  "
                   f"solved {float(m['solved']):.1%}")
 
+    m = eval_metrics(best_net)
+    print(f"best: loss {best_val:.4f}  "
+          f"mean_final_dist {float(m['mean_final_dist']):.4f} m  "
+          f"solved {float(m['solved']):.1%}  "
+          f"(vs hand-designed {ref_d:.4f} m)")
     if args.save:
-        np.savez(args.save, **{k: np.asarray(v) for k, v in net.items()})
-        print(f"saved trained net -> {args.save}")
+        np.savez(args.save, **{k: np.asarray(v) for k, v in best_net.items()})
+        print(f"saved best net -> {args.save}")
 
 
 if __name__ == "__main__":

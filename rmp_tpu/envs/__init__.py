@@ -1,5 +1,6 @@
 """Experiment scenario registry (the reference's experiments/ as envs)."""
-from rmp_tpu.envs import base, dual, franka, two_joint, ur5  # noqa: F401
+from rmp_tpu.envs import (base, dual, franka, neural_reach,  # noqa: F401
+                          two_joint, ur5)
 from rmp_tpu.envs.base import (Env, EnvState, env_state,  # noqa: F401
                                make_batched_reset, make_batched_rollout,
                                make_control_step, make_rollout)
@@ -13,6 +14,7 @@ REGISTRY = {
     "two_joint/05_obstacle_avoidance": two_joint.env_05_obstacle_avoidance,
     "two_joint/05_obstacle_avoidance_variant":
         two_joint.env_05_obstacle_avoidance_variant,
+    "two_joint/neural_reach": neural_reach.env_neural_reach,
     "franka/01_target_rmp_only": franka.env_01_target_rmp_only,
     "franka/02_provoke_collision": franka.env_02_provoke_collision,
     "franka/03_self_avoidance": franka.env_03_self_avoidance,

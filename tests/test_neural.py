@@ -45,8 +45,8 @@ def test_head_width_validation():
 def test_neural_env_rollout_finite():
     """The neural attractor runs inside the standard batched rollout
     machinery (bind_goal, fused aux, resolve) with finite outputs."""
-    from experiments.train_neural_rmp import make_neural_env
     from rmp_tpu import envs as envs_mod
+    from rmp_tpu.envs.neural_reach import make_neural_env
 
     env = make_neural_env(jax.random.PRNGKey(3))
     states = envs_mod.make_batched_reset(env, 4)(jax.random.PRNGKey(0))
@@ -54,6 +54,26 @@ def test_neural_env_rollout_finite():
         states, env.gather_params())
     assert np.all(np.isfinite(np.asarray(final.sim.q)))
     assert np.all(np.isfinite(np.asarray(aux["qdd"])))
+
+
+def test_trained_asset_scenario_reaches():
+    """The registered two_joint/neural_reach scenario (committed trained
+    weights) reaches well inside the goal box on UNSEEN random goals —
+    the net generalizes over its goal-conditioned input, it didn't
+    memorize the training episodes. The committed weights measure 0.9 mm
+    mean / 17 mm p99 on 256 unseen goals (99.2% solved at the 2 cm
+    tolerance); 5 cm mean is ~50x headroom that still fails hard if the
+    asset regresses."""
+    from rmp_tpu import envs as envs_mod
+
+    env = envs_mod.make("two_joint/neural_reach")
+    states = envs_mod.make_batched_reset(env, 32)(jax.random.PRNGKey(7))
+    final, aux = jax.jit(envs_mod.make_batched_rollout(env, 80))(
+        states, env.gather_params())
+    d = np.linalg.norm(np.asarray(aux["ee"][:, -1, :2])
+                       - np.asarray(final.sim.goal[:, :2]), axis=-1)
+    assert np.all(np.isfinite(d))
+    assert d.mean() < 0.05, f"trained policy regressed: mean dist {d.mean()}"
 
 
 @pytest.mark.slow
