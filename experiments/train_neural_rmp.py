@@ -43,6 +43,8 @@ def make_loss(env, batch: int, n_ticks: int, seed: int = 0,
     rollout = envs_mod.make_batched_rollout(env, n_ticks, remat=remat)
     base = env.gather_params()
 
+    dims = 2 if env.solved_xy_only else 3
+
     def metrics(net):
         params = (dict(base[0], net=net),) + tuple(base[1:])
         final, aux = rollout(states, params)
@@ -50,7 +52,7 @@ def make_loss(env, batch: int, n_ticks: int, seed: int = 0,
         # final-tick-only loss is sparse — long-horizon runs plateau on a
         # goal-independent policy), plus terminal-velocity + effort shaping
         d_traj = jnp.linalg.norm(
-            aux["ee"][..., :2] - final.sim.goal[:, None, :2], axis=-1)
+            aux["ee"][..., :dims] - final.sim.goal[:, None, :dims], axis=-1)
         d_final = d_traj[:, -1]
         qd_final = jnp.linalg.norm(final.sim.qd, axis=-1)
         effort = jnp.mean(aux["qdd"] ** 2)
@@ -64,21 +66,23 @@ def make_loss(env, batch: int, n_ticks: int, seed: int = 0,
 
 
 def hand_designed_yardstick(env, states, n_ticks: int):
-    """Same episodes under the reference-parity v1 target policy."""
+    """Same episodes under the reference-parity v1 target policy (same
+    EE-position taskmap object as the neural leaf)."""
     from rmp_tpu import envs as envs_mod
-    from rmp_tpu import taskmaps as tm
     from rmp_tpu.envs.base import bind_goal
     from rmp_tpu.policies import v1
 
-    taskmap = tm.chain(tm.fk_frame(env.model, "link_23"), tm.to_position())
-    ref_pol = (v1.target_policy(goal=[0.0, 0.0, 0.0], taskmap=taskmap,
+    ref_pol = (v1.target_policy(goal=[0.0, 0.0, 0.0],
+                                taskmap=env.policies[0].taskmap,
                                 alpha=0.1, beta=0.5, c=0.1, name="target"),
                env.policies[1])
     ref_env = dataclasses.replace(env, policies=ref_pol,
                                   bind_params=bind_goal(("target",)))
     rollout = envs_mod.make_batched_rollout(ref_env, n_ticks)
     final, aux = jax.jit(rollout)(states, ref_env.gather_params())
-    d = jnp.linalg.norm(aux["ee"][:, -1, :2] - final.sim.goal[:, :2], axis=-1)
+    dims = 2 if env.solved_xy_only else 3
+    d = jnp.linalg.norm(aux["ee"][:, -1, :dims] - final.sim.goal[:, :dims],
+                        axis=-1)
     return float(jnp.mean(d)), float(jnp.mean(
         (d < env.solved_tol).astype(jnp.float32)))
 
@@ -94,6 +98,10 @@ def main():
                          "x 10 substeps explodes without it on long "
                          "horizons; 0 disables)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--robot", choices=("two_joint", "franka"),
+                    default="two_joint")
+    ap.add_argument("--hidden", type=int, nargs="+", default=[32, 32],
+                    help="MLP hidden layer widths")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the tick (long-horizon training)")
@@ -104,7 +112,8 @@ def main():
 
     import optax
 
-    env = make_neural_env(jax.random.PRNGKey(args.seed))
+    env = make_neural_env(jax.random.PRNGKey(args.seed), robot=args.robot,
+                          hidden=tuple(args.hidden))
     loss, metrics, states, base = make_loss(env, args.batch, args.ticks,
                                             seed=args.seed, remat=args.remat)
     net = base[0]["net"]

@@ -15,6 +15,7 @@ REGISTRY = {
     "two_joint/05_obstacle_avoidance_variant":
         two_joint.env_05_obstacle_avoidance_variant,
     "two_joint/neural_reach": neural_reach.env_neural_reach,
+    "franka/neural_reach": neural_reach.env_neural_reach_franka,
     "franka/01_target_rmp_only": franka.env_01_target_rmp_only,
     "franka/02_provoke_collision": franka.env_02_provoke_collision,
     "franka/03_self_avoidance": franka.env_03_self_avoidance,
