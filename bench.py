@@ -86,8 +86,15 @@ def main():
     # same-session: k=1 11.78M, k=2 13.14M, k=4 13.55M, k=8 13.62M
     # steps/s — k=4 is the default (nearly all of the win at half of k=8's
     # HLO growth / compile cost). Numerics are identical (scan unrolling,
-    # not a program change; bit-match pinned by test_envs.py).
+    # not a program change; bit-match pinned by test_envs.py). Only the
+    # FUSED rollout path reads the knob — force 1 (and say so) otherwise,
+    # instead of silently reporting an unroll that never applied.
     tick_unroll = int(os.environ.get("RMP_BENCH_TICK_UNROLL", "4"))
+    if not fused and tick_unroll != 1:
+        print(f"note: RMP_BENCH_TICK_UNROLL={tick_unroll} ignored — the "
+              f"non-fused rollout path has no tick-unroll "
+              f"(RMP_BENCH_FUSED=0 or batch % 128 != 0)", file=sys.stderr)
+        tick_unroll = 1
     states = envs.make_batched_reset(env, batch)(jax.random.PRNGKey(0))
     # with_aux=False: throughput consumers only read the final state; the
     # per-tick aux stacking + (T,B)->(B,T) transpose measured ~6% device time

@@ -151,6 +151,12 @@ def main():
                   f"mean_final_dist {float(m['mean_final_dist']):.4f} m  "
                   f"solved {float(m['solved']):.1%}")
 
+    # the loop scores each net BEFORE its update — evaluate the final
+    # iterate too so the last step's net can be selected as best
+    val = vg(net)[0]
+    if float(val) < best_val:
+        best_val, best_net = float(val), net
+
     m = eval_metrics(best_net)
     print(f"best: loss {best_val:.4f}  "
           f"mean_final_dist {float(m['mean_final_dist']):.4f} m  "

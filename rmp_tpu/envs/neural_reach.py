@@ -5,11 +5,17 @@ hand-designed closed-form policies (experiments/two_joint_robot/01-05,
 experiments/franka_panda/01-06); this scenario's attractor is a neural
 network trained end-to-end through the differentiable rollout
 (experiments/train_neural_rmp.py), something the reference's PyBullet C++
-physics cannot support. The committed weights asset
-assets/neural_reach_two_joint.npz is the training run's best-loss iterate;
-re-train/re-produce it with
-    python experiments/train_neural_rmp.py --cpu \
+physics cannot support. The committed weights assets
+assets/neural_reach_two_joint.npz / neural_reach_franka.npz are each
+training run's best-loss iterate; reproduce them with the budgets that
+produced them (the landscape is seed-sensitive — see the trainer's
+docstring; seed 0 plateaus):
+    python experiments/train_neural_rmp.py --cpu --seed 1 --batch 256 \
+        --ticks 80 --steps 250 --lr 2e-3 \
         --save assets/neural_reach_two_joint.npz
+    python experiments/train_neural_rmp.py --robot franka --seed 1 \
+        --batch 1024 --ticks 80 --steps 500 --lr 2e-3 --hidden 64 64 \
+        --save assets/neural_reach_franka.npz   # TPU, ~3 min
 """
 from __future__ import annotations
 
@@ -84,6 +90,10 @@ def make_neural_env(key=None, net: dict | None = None, hidden=(32, 32),
     return Env(name=f"{robot}/neural_reach", model=model, policies=policies,
                reset=reset, ee_frame=model.frame_index(ee),
                solved_xy_only=xy_only, resolve_method="cholesky",
+               # divergence backstop behind the tanh accel bound: an
+               # untrained/mid-training net must not propagate NaN or
+               # exploding commands into sim state (policies/neural.py)
+               max_qdd=100.0,
                bind_params=bind_goal(("neural_target",)))
 
 

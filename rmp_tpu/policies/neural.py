@@ -61,9 +61,13 @@ def _chol_from_raw(raw, d: int):
     hot graphs are a measured ~280 s compile cliff, CLAUDE.md)."""
     diag = jax.nn.softplus(raw[..., :d])                       # (..., d)
     rows, cols = np.tril_indices(d, k=-1)
-    basis = np.zeros((len(rows), d, d), np.float32)
-    basis[np.arange(len(rows)), rows, cols] = 1.0              # constant
-    L = jnp.einsum("...k,kij->...ij", raw[..., d:], jnp.asarray(basis))
+    basis = np.zeros((len(rows), d * d), np.float32)
+    basis[np.arange(len(rows)), rows * d + cols] = 1.0         # constant
+    # explicit broadcast multiply-reduce (contraction dim d(d-1)/2 <= 3 for
+    # d=3): a tiny einsum/dot here would be a separate latency-bound MXU
+    # dispatch per tick (the geom.mm routing lesson, DESIGN.md §10)
+    flat = jnp.sum(raw[..., d:, None] * jnp.asarray(basis), axis=-2)
+    L = flat.reshape(raw.shape[:-1] + (d, d))
     L = L + diag[..., :, None] * jnp.eye(d, dtype=raw.dtype)
     return L
 
@@ -107,6 +111,10 @@ def neural_attractor(goal, taskmap, net: dict, accel_scale: float = 4.0,
         raise ValueError(
             f"net output width {int(w_last.shape[-1])} != head_sizes({d}) "
             f"= {head_sizes(d)}")
+    if int(net["w0"].shape[0]) != 2 * d:
+        raise ValueError(
+            f"net input width {int(net['w0'].shape[0])} != 2*d = {2 * d} "
+            f"(features are concat(goal - x, xd))")
     if feat_scale is None:
         feat_scale = np.ones(2 * d, np.float32)
     params = dict(goal=goal, net=net,
