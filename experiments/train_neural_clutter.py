@@ -1,0 +1,167 @@
+"""Train the learned obstacle-avoidance leaf through the cluttered physics.
+
+The leaf (policies/neural.neural_obstacle) shares the production v2
+attractor/damping stack and the grouped per-pair distance taskmap of
+franka/randomized_cluttered; only the obstacle leaf's MLP trains. The loss
+balances goal reaching against a dense collision hinge over the full
+per-pair distance matrix (Env.aux_fn), so gradients flow both through the
+policy's effect on the trajectory AND directly from every near-obstacle
+tick. The hand-designed v2 ObstacleAvoidance (reference rmp2.py:140-196,
+retuned per reports/eval_randomized.json) on the same episodes is the
+printed yardstick. Structurally impossible in the reference: PyBullet's
+C++ stepSimulation blocks gradients.
+
+Usage: python experiments/train_neural_clutter.py [--steps 300]
+           [--batch 1024] [--ticks 100] [--cpu] [--save weights.npz]
+"""
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmp_tpu.envs.neural_clutter import (clearance_aux,  # noqa: E402
+                                         make_neural_clutter_env)
+
+
+def episode_metrics(env, states, rollout, params, clear_margin: float):
+    """Common scoring for the learned env and the hand-designed yardstick."""
+    final, aux = rollout(states, params)
+    d_traj = jnp.linalg.norm(aux["ee"] - final.sim.goal[:, None, :], axis=-1)
+    # dense reach loss over the SECOND HALF (final-tick-only is sparse and
+    # plateaus, see train_neural_rmp.py), plus collision hinge on every
+    # (tick, link, obstacle) distance below the margin, plus effort
+    reach = jnp.mean(d_traj[:, d_traj.shape[1] // 2:])
+    hinge = jnp.maximum(clear_margin - aux["obst_d"], 0.0)   # (B,T,L,K)
+    collision = jnp.mean(jnp.sum(hinge * hinge, axis=(-2, -1)))
+    effort = jnp.mean(aux["qdd"] ** 2)
+    min_clear = jnp.min(aux["obst_d"], axis=(-2, -1))        # (B, T)
+    d_final = d_traj[:, -1]
+    mets = dict(
+        mean_final_dist=jnp.mean(d_final),
+        solved=jnp.mean((d_final < env.solved_tol).astype(jnp.float32)),
+        # an env "penetrated" if ANY tick dipped below -1 cm (the
+        # evaluate.py threshold, applied per-tick rather than final-state)
+        penetrated=jnp.mean((jnp.min(min_clear, axis=-1) < -0.01)
+                            .astype(jnp.float32)),
+        mean_min_clear=jnp.mean(min_clear))
+    return reach, collision, effort, mets
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--ticks", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--clip", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--hidden", type=int, nargs="+", default=[32, 32])
+    ap.add_argument("--w-collision", type=float, default=30.0,
+                    help="collision hinge weight (squared hinge below "
+                         "--clear-margin, summed over pairs)")
+    ap.add_argument("--clear-margin", type=float, default=0.05)
+    ap.add_argument("--w-effort", type=float, default=1e-4)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--save", default=None)
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import optax
+
+    from rmp_tpu import envs as envs_mod
+
+    env = make_neural_clutter_env(jax.random.PRNGKey(args.seed),
+                                  hidden=tuple(args.hidden), train=True)
+    states = envs_mod.make_batched_reset(env, args.batch)(
+        jax.random.PRNGKey(args.seed))
+    # remat: BPTT through ticks x 10 substeps at this batch size needs the
+    # rematerialized scan (54959bc) to fit HBM
+    rollout = envs_mod.make_batched_rollout(env, args.ticks, remat=True)
+    base = env.gather_params()
+    net0 = base[-1]["net"]
+    obstacle_slot = len(base) - 1
+
+    def metrics(net):
+        params = base[:obstacle_slot] + (dict(base[obstacle_slot], net=net),)
+        reach, collision, effort, mets = episode_metrics(
+            env, states, rollout, params, args.clear_margin)
+        loss = reach + args.w_collision * collision + args.w_effort * effort
+        return loss, dict(mets, reach=reach, collision=collision)
+
+    loss_fn = lambda net: metrics(net)[0]   # noqa: E731
+
+    # yardstick: the production hand-designed obstacle leaf on the SAME
+    # episodes (same reset keys; identical attractor stack and scoring)
+    from rmp_tpu.envs import franka
+    hand_env = dataclasses.replace(
+        franka.env_randomized_cluttered(), on_solved=None, stuck_fn=None,
+        aux_fn=clearance_aux)
+    hand_rollout = envs_mod.make_batched_rollout(hand_env, args.ticks,
+                                                 remat=True)
+    _, _, _, hand = jax.jit(
+        lambda: episode_metrics(hand_env, states, hand_rollout,
+                                hand_env.gather_params(),
+                                args.clear_margin))()
+    print("hand-designed yardstick: "
+          + "  ".join(f"{k} {float(v):.4f}" for k, v in hand.items()))
+
+    # BPTT through the production stack can emit inf/NaN gradient ELEMENTS
+    # (the velocity-cap metric w/(1-ratio^2) is near-singular by design —
+    # v2.py:70-89 — and deep-penetration randomized spawns sit on distance-
+    # query kinks). One inf element makes the global norm inf, and
+    # clip_by_global_norm then scales every update to inf*0 = NaN: the
+    # first training attempt froze at step 1 with a NaN net. Zero the
+    # non-finite elements BEFORE the optimizer; the surviving signal is the
+    # usable one.
+    def vg(net):
+        val, grad = jax.value_and_grad(loss_fn)(net)
+        grad = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grad)
+        gnorm = jnp.sqrt(sum(jnp.sum(g * g) for g in jax.tree.leaves(grad)))
+        return val, grad, gnorm
+
+    vg = jax.jit(vg)
+    eval_metrics = jax.jit(lambda n: metrics(n)[1])
+    hold = int(args.steps * 0.6)
+    sched = optax.join_schedules(
+        [optax.constant_schedule(args.lr),
+         optax.cosine_decay_schedule(args.lr, max(args.steps - hold, 1),
+                                     alpha=0.05)], [hold])
+    opt = optax.adam(sched) if args.clip <= 0 else optax.chain(
+        optax.clip_by_global_norm(args.clip), optax.adam(sched))
+    net = net0
+    opt_state = opt.init(net)
+    best_val, best_net = float("inf"), net
+    for step in range(args.steps):
+        val, grad, gnorm = vg(net)
+        if float(val) < best_val:
+            best_val, best_net = float(val), net
+        updates, opt_state = opt.update(grad, opt_state)
+        net = optax.apply_updates(net, updates)
+        if step % 10 == 0 or step == args.steps - 1:
+            m = eval_metrics(net)
+            print(f"step {step:4d}  loss {float(val):.4f}  "
+                  f"gnorm {float(gnorm):.2e}  "
+                  + "  ".join(f"{k} {float(v):.4f}" for k, v in m.items()))
+
+    val = vg(net)[0]
+    if float(val) < best_val:
+        best_val, best_net = float(val), net
+
+    m = eval_metrics(best_net)
+    print("best: loss %.4f  " % best_val
+          + "  ".join(f"{k} {float(v):.4f}" for k, v in m.items()))
+    if args.save:
+        np.savez(args.save, **{k: np.asarray(v) for k, v in best_net.items()})
+        print(f"saved best net -> {args.save}")
+
+
+if __name__ == "__main__":
+    main()

@@ -132,6 +132,11 @@ class Env:
     # EE-goal improvement (m) that counts as progress for the
     # EnvState.no_progress counter stuck_fn implementations consume
     progress_eps: float = 0.01
+    # opt-in extra per-tick aux: fn(model, sim) -> dict merged into the
+    # tick's aux after the substeps (training losses that need signals the
+    # default aux lacks, e.g. min obstacle clearance for collision-shaped
+    # objectives). None (default) costs nothing.
+    aux_fn: Callable | None = None
 
     def gather_params(self) -> tuple:
         return tuple(p.params for p in self.policies)
@@ -292,6 +297,8 @@ def _advance(env: Env, state: EnvState, qdd):
                 state.solved_count, solved.astype(jnp.int32)))
     aux = dict(solved=solved, qdd=qdd,
                ee=ee_position(env, sim) if sim.goal is not None else None)
+    if env.aux_fn is not None:
+        aux.update(env.aux_fn(model, sim))
     if env.on_solved is not None:
         # resample-event flag: True when on_solved fired this tick (solve
         # OR stuck-timeout). Lets consumers reconstruct per-goal outcomes —

@@ -95,6 +95,66 @@ def head_sizes(d: int) -> int:
     return d + d + d * (d - 1) // 2
 
 
+OBSTACLE_FEATURES = 3   # (x/r, exp(-x/sigma), xd/v_scale) per pair
+
+
+def _neural_obstacle_accel_metric(params, x, xd, ctx):
+    # x: (P, 1) signed distances on the 1-D distance taskmap (the same
+    # task space as the hand-designed v2.obstacle_avoidance); xd: (P, 1)
+    # approach rate. ONE shared net scores every (link, obstacle) pair —
+    # mlp_apply broadcasts over the P axis.
+    r = params["support_radius"]
+    xc = jnp.maximum(x, 0.0)             # clamp penetration for features
+    feats = jnp.concatenate(
+        [xc / r,
+         jnp.exp(-xc / params["feat_sigma"]),   # sharpens the near field
+         xd / params["vel_scale"]], axis=-1)    # (P, 3)
+    out = mlp_apply(params["net"], feats)       # (P, 2)
+    a = params["accel_scale"] * jnp.tanh(out[..., :1])          # (P, 1)
+    # STRUCTURAL locality: the learned metric is gated by the same smooth
+    # quadratic support the hand-designed policy uses (v2.py:121-123), so
+    # beyond support_radius the leaf's pullback weight is EXACTLY zero —
+    # far-field behavior stays the attractor's no matter where training
+    # wanders, and the far field costs no learned capacity.
+    gate = xc * xc / (r * r) - 2.0 * xc / r + 1.0
+    gate = jnp.where(xc > r, jnp.zeros_like(gate), gate)
+    metric = params["metric_scale"] * jax.nn.softplus(out[..., 1:2]) * gate
+    if ctx is not None and "mask" in ctx:
+        metric = metric * ctx["mask"].reshape(-1)[:, None]
+    return a, metric[..., None]                                  # (P, 1, 1)
+
+
+def neural_obstacle(taskmap, net: dict, support_radius: float = 0.5,
+                    feat_sigma: float = 0.1, vel_scale: float = 1.0,
+                    accel_scale: float = 20.0, metric_scale: float = 5.0,
+                    name: str = "neural_obstacle") -> Policy:
+    """Learned obstacle-avoidance leaf on a 1-D distance taskmap.
+
+    Drop-in replacement for the hand-designed v2.obstacle_avoidance
+    (reference rmp2.py:140-196): same task space (per-pair signed
+    distance), same ctx mask protocol, same zero-beyond-support locality —
+    but the repulsion/damping/metric shaping inside the support radius is
+    an MLP trained end-to-end through the differentiable rollout
+    (experiments/train_neural_clutter.py). net comes from
+    mlp_init(key, (OBSTACLE_FEATURES, *hidden, 2)).
+    """
+    w_last = net[f"w{len(net) // 2 - 1}"]
+    if int(net["w0"].shape[0]) != OBSTACLE_FEATURES:
+        raise ValueError(
+            f"net input width {int(net['w0'].shape[0])} != "
+            f"OBSTACLE_FEATURES = {OBSTACLE_FEATURES}")
+    if int(w_last.shape[-1]) != 2:
+        raise ValueError(
+            f"net output width {int(w_last.shape[-1])} != 2 (accel, metric)")
+    params = dict(net=net,
+                  support_radius=jnp.asarray(support_radius, jnp.float32),
+                  feat_sigma=jnp.asarray(feat_sigma, jnp.float32),
+                  vel_scale=jnp.asarray(vel_scale, jnp.float32),
+                  accel_scale=jnp.asarray(accel_scale, jnp.float32),
+                  metric_scale=jnp.asarray(metric_scale, jnp.float32))
+    return Policy(name, taskmap, _neural_obstacle_accel_metric, params)
+
+
 def neural_attractor(goal, taskmap, net: dict, accel_scale: float = 4.0,
                      metric_scale: float = 1.0, metric_eps: float = 0.05,
                      feat_scale=None, name: str = "neural_target") -> Policy:

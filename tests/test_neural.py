@@ -95,6 +95,68 @@ def test_trained_franka_asset_scenario_reaches():
     assert d.mean() < 0.1, f"trained franka policy regressed: {d.mean()}"
 
 
+def test_neural_obstacle_locality_psd_and_mask():
+    """The learned obstacle leaf keeps the hand-designed leaf's structural
+    guarantees regardless of net weights: metric EXACTLY zero beyond the
+    support radius (far field stays the attractor's), positive within,
+    tanh-bounded accel, and ctx-mask zeroing for padded pairs."""
+    net = neural.mlp_init(jax.random.PRNGKey(0),
+                          (neural.OBSTACLE_FEATURES, 16, 2))
+    pol = neural.neural_obstacle(taskmap=None, net=net, support_radius=0.5)
+    x = jnp.linspace(-0.1, 1.2, 14)[:, None]          # (P, 1) distances
+    xd = jax.random.normal(jax.random.PRNGKey(1), (14, 1))
+    a, M = pol.evaluate(x, xd)
+    assert a.shape == (14, 1) and M.shape == (14, 1, 1)
+    m = np.asarray(M)[:, 0, 0]
+    far = np.asarray(x)[:, 0] > 0.5
+    assert np.all(m[far] == 0.0), "metric leaks beyond the support radius"
+    assert np.all(m[~far] > 0.0), "metric not positive inside support"
+    assert float(jnp.max(jnp.abs(a))) <= float(pol.params["accel_scale"])
+    # ctx mask kills padded pairs
+    a2, M2 = pol.evaluate(x, xd, ctx={"mask": jnp.zeros(14)})
+    assert np.all(np.asarray(M2) == 0.0)
+
+
+def test_neural_obstacle_width_validation():
+    bad_in = neural.mlp_init(jax.random.PRNGKey(0), (5, 8, 2))
+    with pytest.raises(ValueError, match="OBSTACLE_FEATURES"):
+        neural.neural_obstacle(taskmap=None, net=bad_in)
+    bad_out = neural.mlp_init(jax.random.PRNGKey(0),
+                              (neural.OBSTACLE_FEATURES, 8, 3))
+    with pytest.raises(ValueError, match="output width"):
+        neural.neural_obstacle(taskmap=None, net=bad_out)
+
+
+def test_neural_clutter_env_rollout_and_grad():
+    """The learned obstacle leaf runs inside the full randomized-cluttered
+    machinery (grouped distance taskmap, ctx mask, fused batched rollout),
+    the training aux carries the per-pair distance matrix (Env.aux_fn),
+    and gradients flow back to the net through the physics."""
+    from rmp_tpu import envs as envs_mod
+    from rmp_tpu.envs.neural_clutter import make_neural_clutter_env
+
+    env = make_neural_clutter_env(jax.random.PRNGKey(2), train=True)
+    states = envs_mod.make_batched_reset(env, 3)(jax.random.PRNGKey(0))
+    rollout = jax.jit(envs_mod.make_batched_rollout(env, 3, remat=True))
+    params = env.gather_params()
+    final, aux = rollout(states, params)
+    L = len(env.model.collision_frames)
+    K = states.sim.obstacles.count
+    assert aux["obst_d"].shape == (3, 3, L, K)
+    assert np.all(np.isfinite(np.asarray(final.sim.q)))
+
+    def loss(net):
+        p = params[:-1] + (dict(params[-1], net=net),)
+        f, a = rollout(states, p)
+        reach = jnp.mean(jnp.linalg.norm(
+            a["ee"] - f.sim.goal[:, None, :], axis=-1))
+        return reach + jnp.mean(jnp.maximum(0.05 - a["obst_d"], 0.0) ** 2)
+
+    g = jax.grad(loss)(params[-1]["net"])
+    gn = float(jnp.sqrt(sum(jnp.sum(v ** 2) for v in jax.tree.leaves(g))))
+    assert np.isfinite(gn) and gn > 0.0, gn
+
+
 @pytest.mark.slow
 def test_training_descends_and_beats_init():
     """A few Adam steps through the physics strictly improve the rollout
