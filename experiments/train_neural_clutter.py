@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--clip", type=float, default=1.0)
+    ap.add_argument("--env-clip", type=float, default=3.0,
+                    help="per-env gradient norm clip, applied before the "
+                         "batch mean (non-finite env grads are dropped)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--hidden", type=int, nargs="+", default=[32, 32])
     ap.add_argument("--w-collision", type=float, default=30.0,
@@ -95,8 +98,6 @@ def main():
         loss = reach + args.w_collision * collision + args.w_effort * effort
         return loss, dict(mets, reach=reach, collision=collision)
 
-    loss_fn = lambda net: metrics(net)[0]   # noqa: E731
-
     # yardstick: the production hand-designed obstacle leaf on the SAME
     # episodes (same reset keys; identical attractor stack and scoring)
     from rmp_tpu.envs import franka
@@ -112,20 +113,47 @@ def main():
     print("hand-designed yardstick: "
           + "  ".join(f"{k} {float(v):.4f}" for k, v in hand.items()))
 
-    # BPTT through the production stack can emit inf/NaN gradient ELEMENTS
-    # (the velocity-cap metric w/(1-ratio^2) is near-singular by design —
-    # v2.py:70-89 — and deep-penetration randomized spawns sit on distance-
-    # query kinks). One inf element makes the global norm inf, and
-    # clip_by_global_norm then scales every update to inf*0 = NaN: the
-    # first training attempt froze at step 1 with a NaN net. Zero the
-    # non-finite elements BEFORE the optimizer; the surviving signal is the
-    # usable one.
+    # PER-ENV gradients, clipped per env BEFORE the batch mean. BPTT
+    # through the stiff closed loop (velocity-cap near-singular metric,
+    # obstacle repulsion) EXPLODES on a heavy tail of envs — measured
+    # gnorm 1.2 at 5 ticks -> 9.7e3 at 20 -> inf/NaN at 100 — and a batch-
+    # mean gradient lets one diverged env poison the shared net (both
+    # whole-batch attempts froze: NaN params at step 1, then all-NaN
+    # gradients every step). vmap(grad) isolates each episode: non-finite
+    # env gradients are dropped, finite ones norm-clipped to --env-clip,
+    # and only then averaged.
+    single_rollout = envs_mod.make_rollout(env, args.ticks, remat=True)
+
+    def env_loss(net, state):
+        p = base[:obstacle_slot] + (dict(base[obstacle_slot], net=net),)
+        f, a = single_rollout(state, p)
+        d_traj = jnp.linalg.norm(a["ee"] - f.sim.goal[None, :], axis=-1)
+        reach = jnp.mean(d_traj[d_traj.shape[0] // 2:])
+        hinge = jnp.maximum(args.clear_margin - a["obst_d"], 0.0)
+        collision = jnp.mean(jnp.sum(hinge * hinge, axis=(-2, -1)))
+        effort = jnp.mean(a["qdd"] ** 2)
+        return reach + args.w_collision * collision + args.w_effort * effort
+
     def vg(net):
-        val, grad = jax.value_and_grad(loss_fn)(net)
+        vals, grads = jax.vmap(jax.value_and_grad(env_loss),
+                               in_axes=(None, 0))(net, states)  # (B, ...)
+        leaf_ok = [jnp.all(jnp.isfinite(g), axis=tuple(range(1, g.ndim)))
+                   for g in jax.tree.leaves(grads)]
+        ok = jnp.stack(leaf_ok, axis=0).all(axis=0) & jnp.isfinite(vals)
+        norms = jnp.sqrt(sum(
+            jnp.sum(jnp.where(jnp.isfinite(g), g, 0.0) ** 2,
+                    axis=tuple(range(1, g.ndim)))
+            for g in jax.tree.leaves(grads)))                    # (B,)
+        scale = jnp.where(ok, jnp.minimum(1.0, args.env_clip
+                                          / (norms + 1e-12)), 0.0)
+        n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.float32)), 1.0)
         grad = jax.tree.map(
-            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grad)
+            lambda g: jnp.einsum(
+                "b...,b->...", jnp.where(jnp.isfinite(g), g, 0.0), scale)
+            / n_ok, grads)
         gnorm = jnp.sqrt(sum(jnp.sum(g * g) for g in jax.tree.leaves(grad)))
-        return val, grad, gnorm
+        val = jnp.sum(jnp.where(ok, vals, 0.0)) / n_ok
+        return val, grad, gnorm, 1.0 - n_ok / vals.shape[0]
 
     vg = jax.jit(vg)
     eval_metrics = jax.jit(lambda n: metrics(n)[1])
@@ -140,7 +168,7 @@ def main():
     opt_state = opt.init(net)
     best_val, best_net = float("inf"), net
     for step in range(args.steps):
-        val, grad, gnorm = vg(net)
+        val, grad, gnorm, dropped = vg(net)
         if float(val) < best_val:
             best_val, best_net = float(val), net
         updates, opt_state = opt.update(grad, opt_state)
@@ -148,7 +176,7 @@ def main():
         if step % 10 == 0 or step == args.steps - 1:
             m = eval_metrics(net)
             print(f"step {step:4d}  loss {float(val):.4f}  "
-                  f"gnorm {float(gnorm):.2e}  "
+                  f"gnorm {float(gnorm):.2e}  dropped {float(dropped):.3f}  "
                   + "  ".join(f"{k} {float(v):.4f}" for k, v in m.items()))
 
     val = vg(net)[0]
