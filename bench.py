@@ -78,6 +78,18 @@ def main():
     # RMP_BENCH_UNROLL=1 restores the Python-level unroll.
     env.unroll_substeps = os.environ.get("RMP_BENCH_UNROLL", "0") == "1"
 
+    # RMP_BENCH_BLOCKS_DTYPE=bf16: cast the fused path's per-policy row
+    # blocks to bfloat16 at the producer/Pallas-kernel boundary (arithmetic
+    # and the LU resolve stay f32; ~1% qdd error — see
+    # ops/pallas_resolve.pullback_resolve_structured). Default f32 keeps
+    # the trajectory-parity path.
+    blocks_dtype = os.environ.get("RMP_BENCH_BLOCKS_DTYPE", "f32")
+    if blocks_dtype not in ("f32", "bf16"):
+        sys.exit(f"RMP_BENCH_BLOCKS_DTYPE must be 'f32' or 'bf16', "
+                 f"got {blocks_dtype!r}")
+    if blocks_dtype == "bf16":
+        env.fused_blocks_dtype = "bf16"
+
     params = env.gather_params()
     fused = os.environ.get("RMP_BENCH_FUSED", "1") == "1" and batch % 128 == 0
     # RMP_BENCH_TICK_UNROLL=k: scan-unroll k ticks per loop iteration —
@@ -127,7 +139,8 @@ def main():
         "value": round(control_steps_per_sec, 1),
         "unit": f"control_steps/s/chip ({env_name}, "
                 f"{geometry} geometry, "
-                f"{batch} envs, {ticks} ticks x{chain} chained; "
+                + (f"bf16 row blocks, " if blocks_dtype == "bf16" else "")
+                + f"{batch} envs, {ticks} ticks x{chain} chained; "
                 f"compile {compile_s:.1f}s; "
                 f"platform {jax.devices()[0].platform})",
         "vs_baseline": round(control_steps_per_sec / 1_000_000.0, 3),

@@ -80,7 +80,12 @@ def main():
 
     from rmp_tpu import envs as envs_mod
 
-    env = make_neural_clutter_env(jax.random.PRNGKey(args.seed),
+    from rmp_tpu.policies.neural import mlp_init, transparent_obstacle_init
+    from rmp_tpu.policies import neural as neural_mod
+    net_init = transparent_obstacle_init(mlp_init(
+        jax.random.PRNGKey(args.seed),
+        (neural_mod.OBSTACLE_FEATURES, *args.hidden, 2)))
+    env = make_neural_clutter_env(net=net_init,
                                   hidden=tuple(args.hidden), train=True)
     states = envs_mod.make_batched_reset(env, args.batch)(
         jax.random.PRNGKey(args.seed))

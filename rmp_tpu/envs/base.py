@@ -137,6 +137,13 @@ class Env:
     # default aux lacks, e.g. min obstacle clearance for collision-shaped
     # objectives). None (default) costs nothing.
     aux_fn: Callable | None = None
+    # opt-in reduced precision for the FUSED batched path: 'bf16' casts the
+    # per-policy row blocks (J/W/v and the identity Gram seed) to bfloat16
+    # at the producer/kernel boundary — both the HBM write and the Pallas
+    # kernel's read stream halve; all arithmetic and the LU resolve stay
+    # f32 (ops/pallas_resolve.py). ~1% qdd error; None (default) keeps the
+    # trajectory-parity f32 path.
+    fused_blocks_dtype: str | None = None
 
     def gather_params(self) -> tuple:
         return tuple(p.params for p in self.policies)
@@ -336,6 +343,10 @@ def make_batched_control_step(env: Env):
     from rmp_tpu.core import policy_row_blocks_structured, resolve
     from rmp_tpu.ops.pallas_resolve import pullback_resolve_structured
 
+    if env.fused_blocks_dtype not in (None, "bf16"):
+        raise ValueError(
+            f"fused_blocks_dtype must be None or 'bf16', "
+            f"got {env.fused_blocks_dtype!r}")
     policies = env.policies
     tag_box: list = []
 
@@ -383,7 +394,10 @@ def make_batched_control_step(env: Env):
                                                       frame_ctx)
         tags = tuple(tag_box)
         if env.resolve_method == "solve":
-            qdd = pullback_resolve_structured(tags, blocks, ridge=0.0)
+            block_dtype = (jnp.bfloat16
+                           if env.fused_blocks_dtype == "bf16" else None)
+            qdd = pullback_resolve_structured(tags, blocks, ridge=0.0,
+                                              block_dtype=block_dtype)
         else:
             n = env.model.n_q
             A = jnp.zeros((states.sim.q.shape[0], n, n), jnp.float32)

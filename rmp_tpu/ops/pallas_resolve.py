@@ -178,22 +178,29 @@ def _kernel_structured(*refs, n: int, ridge: float, tags: tuple):
     def add(acc, val):
         return val if acc is None else acc + val
 
+    def ld(x):
+        # upcast-on-load: with bf16 block inputs (block_dtype below) the
+        # HBM->VMEM stream is half-width; all arithmetic and the Gram
+        # accumulators stay f32 (one VPU convert per element)
+        return x.astype(jnp.float32)
+
     r = 0
     for tag in tags:
         if tag == "identity0":
             A0_ref, f0_ref = refs[r], refs[r + 1]
             r += 2
             for i in range(n):
-                f[i] = add(f[i], f0_ref[i, :])
+                f[i] = add(f[i], ld(f0_ref[i, :]))
                 for j in range(n):
-                    A[i][j] = add(A[i][j], A0_ref[i, j, :])
+                    A[i][j] = add(A[i][j], ld(A0_ref[i, j, :]))
         elif tag == "scalar":
             J_ref, m_ref, v_ref = refs[r], refs[r + 1], refs[r + 2]
             r += 3
-            m = m_ref[:, :]                          # (R, LANES)
-            Ji = [J_ref[i, :, :] for i in range(n)]
+            m = ld(m_ref[:, :])                      # (R, LANES)
+            v = ld(v_ref[:, :])
+            Ji = [ld(J_ref[i, :, :]) for i in range(n)]
             for i in range(n):
-                f[i] = add(f[i], jnp.sum(Ji[i] * v_ref[:, :], axis=0))
+                f[i] = add(f[i], jnp.sum(Ji[i] * v, axis=0))
                 Jmi = Ji[i] * m
                 for j in range(i, n):
                     a = jnp.sum(Jmi * Ji[j], axis=0)
@@ -203,11 +210,12 @@ def _kernel_structured(*refs, n: int, ridge: float, tags: tuple):
         else:                                        # dense
             J_ref, W_ref, v_ref = refs[r], refs[r + 1], refs[r + 2]
             r += 3
+            v = ld(v_ref[:, :])
             for i in range(n):
-                Ji = J_ref[i, :, :]
-                f[i] = add(f[i], jnp.sum(Ji * v_ref[:, :], axis=0))
+                Ji = ld(J_ref[i, :, :])
+                f[i] = add(f[i], jnp.sum(Ji * v, axis=0))
                 for j in range(n):
-                    A[i][j] = add(A[i][j], jnp.sum(Ji * W_ref[j, :, :],
+                    A[i][j] = add(A[i][j], jnp.sum(Ji * ld(W_ref[j, :, :]),
                                                    axis=0))
 
     x = _lu_solve_lanes(A, f, n, ridge)
@@ -215,7 +223,8 @@ def _kernel_structured(*refs, n: int, ridge: float, tags: tuple):
         out_ref[i, :] = x[i]
 
 
-def pullback_resolve_structured(tags, blocks, ridge: float = 0.0) -> Array:
+def pullback_resolve_structured(tags, blocks, ridge: float = 0.0,
+                                block_dtype=None) -> Array:
     """q̈ from structured per-policy blocks (core.policy_row_blocks_structured
     with a leading batch axis on every array).
 
@@ -228,7 +237,14 @@ def pullback_resolve_structured(tags, blocks, ridge: float = 0.0) -> Array:
     into the producers) into one (A0, f0) seed; scalar blocks never
     materialize W = m * J to HBM. vs the unstructured 3-identity +
     1-scalar + 1-dense flagship layout this roughly halves the kernel's
-    HBM input traffic."""
+    HBM input traffic.
+
+    block_dtype (e.g. jnp.bfloat16): cast the row blocks to this dtype on
+    the producer side — the cast fuses into the producer fusions, so both
+    the HBM write and the kernel's read stream halve; the kernel upcasts
+    on load and keeps ALL arithmetic + the LU resolve in f32. Opt-in
+    reduced precision for the bandwidth-bound flagship regime (~0.4% rel
+    row error -> ~1% qdd error; trajectory-parity consumers keep None)."""
     first = blocks[0][0]
     B = first.shape[0]
     n = blocks[0][0].shape[-1] if tags[0] != "identity" else first.shape[-1]
@@ -244,6 +260,11 @@ def pullback_resolve_structured(tags, blocks, ridge: float = 0.0) -> Array:
         else:
             rest_tags.append(tag)
             rest.append(blk)
+    if block_dtype is not None:
+        cast = lambda x: x.astype(block_dtype)   # noqa: E731
+        if A0 is not None:
+            A0, f0 = cast(A0), cast(f0)
+        rest = [tuple(cast(x) for x in blk) for blk in rest]
 
     kernel_tags, inputs, in_specs = [], [], []
 

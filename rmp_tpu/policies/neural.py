@@ -124,6 +124,20 @@ def _neural_obstacle_accel_metric(params, x, xd, ctx):
     return a, metric[..., None]                                  # (P, 1, 1)
 
 
+def transparent_obstacle_init(net: dict, metric_raw: float = -4.0) -> dict:
+    """Zero the head's final layer so the leaf starts (near-)inert:
+    accel exactly 0, metric softplus(metric_raw) ~ 0.018 * metric_scale *
+    gate. Training then grows repulsion out of clean attractor-only
+    dynamics — a randomly-initialized head (+-accel_scale noise on every
+    pair, ~metric_scale*0.7 weight x pairs) drowns the attractor, and the
+    first clutter training runs diverged into a frozen-arm basin."""
+    i = len(net) // 2 - 1
+    out = dict(net)
+    out[f"w{i}"] = jnp.zeros_like(net[f"w{i}"])
+    out[f"b{i}"] = jnp.asarray([0.0, metric_raw], jnp.float32)
+    return out
+
+
 def neural_obstacle(taskmap, net: dict, support_radius: float = 0.5,
                     feat_sigma: float = 0.1, vel_scale: float = 1.0,
                     accel_scale: float = 20.0, metric_scale: float = 5.0,

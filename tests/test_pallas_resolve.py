@@ -105,3 +105,41 @@ def test_singular_metric_stays_finite():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(pr.pullback_resolve(J, J, v, ridge=0.0))
     assert np.isfinite(got).all()
+
+
+@pytest.mark.slow
+def test_fused_rollout_bf16_blocks_close_to_f32():
+    """fused_blocks_dtype='bf16' (halved producer->kernel HBM traffic,
+    f32 arithmetic inside) tracks the f32 fused path to bf16 row
+    precision over a short rollout."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rmp_tpu import envs
+
+    env = envs.make("franka/06_cluttered_environment")
+    env.resolve_method = "solve"
+    states = envs.make_batched_reset(env, 128)(jax.random.PRNGKey(0))
+    params = env.gather_params()
+    with pltpu.force_tpu_interpret_mode():
+        f32, _ = envs.make_batched_rollout(env, 2, fused_resolve=True)(
+            states, params)
+        env.fused_blocks_dtype = "bf16"
+        b16, _ = envs.make_batched_rollout(env, 2, fused_resolve=True)(
+            states, params)
+    q32, q16 = np.asarray(f32.sim.q), np.asarray(b16.sim.q)
+    assert np.all(np.isfinite(q16))
+    # bf16 has ~3 decimal digits; two ticks of integration keep the state
+    # within ~1e-2 rad of the f32 trajectory (divergence grows with
+    # horizon — this pins the boundary cast, not long-horizon parity)
+    np.testing.assert_allclose(q16, q32, atol=1e-2)
+    assert np.max(np.abs(q16 - q32)) > 0.0, "bf16 path identical to f32?"
+
+
+def test_fused_blocks_dtype_validated():
+    from rmp_tpu import envs
+    from rmp_tpu.envs.base import make_batched_control_step
+
+    env = envs.make("franka/06_cluttered_environment")
+    env.fused_blocks_dtype = "bfloat16"   # typo'd value must not silently
+    with pytest.raises(ValueError, match="fused_blocks_dtype"):
+        make_batched_control_step(env)
