@@ -1,6 +1,6 @@
 """Experiment scenario registry (the reference's experiments/ as envs)."""
-from rmp_tpu.envs import (base, dual, franka, neural_reach,  # noqa: F401
-                          two_joint, ur5)
+from rmp_tpu.envs import (base, dual, franka, neural_clutter,  # noqa: F401
+                          neural_reach, two_joint, ur5)
 from rmp_tpu.envs.base import (Env, EnvState, env_state,  # noqa: F401
                                make_batched_reset, make_batched_rollout,
                                make_control_step, make_rollout)
@@ -16,6 +16,7 @@ REGISTRY = {
         two_joint.env_05_obstacle_avoidance_variant,
     "two_joint/neural_reach": neural_reach.env_neural_reach,
     "franka/neural_reach": neural_reach.env_neural_reach_franka,
+    "franka/neural_clutter": neural_clutter.env_neural_clutter,
     "franka/01_target_rmp_only": franka.env_01_target_rmp_only,
     "franka/02_provoke_collision": franka.env_02_provoke_collision,
     "franka/03_self_avoidance": franka.env_03_self_avoidance,

@@ -29,6 +29,7 @@ CAMERAS: dict[str, dict] = {
                                             distance=1.8),
     "franka/moving_obstacles": dict(target=(0.0, 0.0, 0.4), distance=1.8),
     "franka/randomized_cluttered": dict(target=(0.0, 0.0, 0.4), distance=1.8),
+    "franka/neural_clutter": dict(target=(0.0, 0.0, 0.4), distance=1.8),
 }
 
 

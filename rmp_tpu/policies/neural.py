@@ -110,7 +110,17 @@ def _neural_obstacle_accel_metric(params, x, xd, ctx):
          jnp.exp(-xc / params["feat_sigma"]),   # sharpens the near field
          xd / params["vel_scale"]], axis=-1)    # (P, 3)
     out = mlp_apply(params["net"], feats)       # (P, 2)
-    a = params["accel_scale"] * jnp.tanh(out[..., :1])          # (P, 1)
+    # near-field AUTHORITY is structural, its PROFILE is learned: the
+    # accel is tanh-bounded but its bound grows by repulsion_boost inside
+    # repulsion_sigma of contact (matching the hand leaf's 800*exp(-x/.01)
+    # peak authority, v2.py:127), and the metric carries the same 1/x
+    # exploder barrier as the hand leaf (v2.py:124-125). A purely bounded
+    # head trained to 96.6% success but kept a 9.6% final-penetration rate
+    # (vs the hand leaf's 1.0%) — the net cannot LEARN an unbounded
+    # barrier through a bounded parametrization.
+    boost = 1.0 + params["repulsion_boost"] * jnp.exp(
+        -xc / params["repulsion_sigma"])
+    a = params["accel_scale"] * jnp.tanh(out[..., :1]) * boost   # (P, 1)
     # STRUCTURAL locality: the learned metric is gated by the same smooth
     # quadratic support the hand-designed policy uses (v2.py:121-123), so
     # beyond support_radius the leaf's pullback weight is EXACTLY zero —
@@ -118,29 +128,42 @@ def _neural_obstacle_accel_metric(params, x, xd, ctx):
     # wanders, and the far field costs no learned capacity.
     gate = xc * xc / (r * r) - 2.0 * xc / r + 1.0
     gate = jnp.where(xc > r, jnp.zeros_like(gate), gate)
-    metric = params["metric_scale"] * jax.nn.softplus(out[..., 1:2]) * gate
+    exploder = 1.0 / (xc / params["metric_exploder_std_dev"]
+                      + params["metric_exploder_eps"])
+    metric = (params["metric_scale"] * jax.nn.softplus(out[..., 1:2])
+              * gate * exploder)
     if ctx is not None and "mask" in ctx:
         metric = metric * ctx["mask"].reshape(-1)[:, None]
     return a, metric[..., None]                                  # (P, 1, 1)
 
 
-def transparent_obstacle_init(net: dict, metric_raw: float = -4.0) -> dict:
-    """Zero the head's final layer so the leaf starts (near-)inert:
-    accel exactly 0, metric softplus(metric_raw) ~ 0.018 * metric_scale *
-    gate. Training then grows repulsion out of clean attractor-only
-    dynamics — a randomly-initialized head (+-accel_scale noise on every
-    pair, ~metric_scale*0.7 weight x pairs) drowns the attractor, and the
-    first clutter training runs diverged into a frozen-arm basin."""
+def transparent_obstacle_init(net: dict, metric_raw: float = -4.0,
+                              accel_raw: float = 0.3) -> dict:
+    """Zero the head's final layer WEIGHTS so the leaf starts
+    input-independent: accel tanh(accel_raw) * boost (a mild constant
+    REPULSION — positive pushes the distance up), metric
+    softplus(metric_raw) ~ 0.018 * metric_scale * gate * exploder.
+    Training then shapes both out of clean dynamics. Two measured failure
+    modes motivate this: a randomly-initialized head (+-accel_scale noise
+    on every pair) drowns the attractor and training diverges into a
+    frozen-arm basin; and a ZERO accel bias under the near-contact metric
+    barrier freezes the ~21% of randomized envs that SPAWN penetrating
+    (huge metric says hold, no accel says escape — measured penetrated
+    0.60 / solved 0.19 vs 0.35/0.53 without the barrier)."""
     i = len(net) // 2 - 1
     out = dict(net)
     out[f"w{i}"] = jnp.zeros_like(net[f"w{i}"])
-    out[f"b{i}"] = jnp.asarray([0.0, metric_raw], jnp.float32)
+    out[f"b{i}"] = jnp.asarray([accel_raw, metric_raw], jnp.float32)
     return out
 
 
 def neural_obstacle(taskmap, net: dict, support_radius: float = 0.5,
                     feat_sigma: float = 0.1, vel_scale: float = 1.0,
                     accel_scale: float = 20.0, metric_scale: float = 5.0,
+                    repulsion_boost: float = 40.0,
+                    repulsion_sigma: float = 0.01,
+                    metric_exploder_std_dev: float = 0.02,
+                    metric_exploder_eps: float = 0.001,
                     name: str = "neural_obstacle") -> Policy:
     """Learned obstacle-avoidance leaf on a 1-D distance taskmap.
 
@@ -165,7 +188,13 @@ def neural_obstacle(taskmap, net: dict, support_radius: float = 0.5,
                   feat_sigma=jnp.asarray(feat_sigma, jnp.float32),
                   vel_scale=jnp.asarray(vel_scale, jnp.float32),
                   accel_scale=jnp.asarray(accel_scale, jnp.float32),
-                  metric_scale=jnp.asarray(metric_scale, jnp.float32))
+                  metric_scale=jnp.asarray(metric_scale, jnp.float32),
+                  repulsion_boost=jnp.asarray(repulsion_boost, jnp.float32),
+                  repulsion_sigma=jnp.asarray(repulsion_sigma, jnp.float32),
+                  metric_exploder_std_dev=jnp.asarray(
+                      metric_exploder_std_dev, jnp.float32),
+                  metric_exploder_eps=jnp.asarray(
+                      metric_exploder_eps, jnp.float32))
     return Policy(name, taskmap, _neural_obstacle_accel_metric, params)
 
 

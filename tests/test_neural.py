@@ -111,7 +111,15 @@ def test_neural_obstacle_locality_psd_and_mask():
     far = np.asarray(x)[:, 0] > 0.5
     assert np.all(m[far] == 0.0), "metric leaks beyond the support radius"
     assert np.all(m[~far] > 0.0), "metric not positive inside support"
-    assert float(jnp.max(jnp.abs(a))) <= float(pol.params["accel_scale"])
+    # accel bounded by tanh * the structural near-contact authority boost
+    a_cap = float(pol.params["accel_scale"]) * (
+        1.0 + float(pol.params["repulsion_boost"]))
+    assert float(jnp.max(jnp.abs(a))) <= a_cap
+    # the boost decays within ~repulsion_sigma: beyond 0.1 m the plain
+    # tanh bound holds
+    far_a = np.asarray(x)[:, 0] > 0.1
+    assert float(jnp.max(jnp.abs(a[far_a]))) \
+        <= float(pol.params["accel_scale"]) * 1.01
     # ctx mask kills padded pairs
     a2, M2 = pol.evaluate(x, xd, ctx={"mask": jnp.zeros(14)})
     assert np.all(np.asarray(M2) == 0.0)
