@@ -70,6 +70,9 @@ def main():
                          "--clear-margin, summed over pairs)")
     ap.add_argument("--clear-margin", type=float, default=0.05)
     ap.add_argument("--w-effort", type=float, default=1e-4)
+    ap.add_argument("--barrier", action="store_true",
+                    help="structural near-contact authority variant "
+                         "(repulsion boost + 1/x metric exploder)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--save", default=None)
     args = ap.parse_args()
@@ -85,8 +88,8 @@ def main():
     net_init = transparent_obstacle_init(mlp_init(
         jax.random.PRNGKey(args.seed),
         (neural_mod.OBSTACLE_FEATURES, *args.hidden, 2)))
-    env = make_neural_clutter_env(net=net_init,
-                                  hidden=tuple(args.hidden), train=True)
+    env = make_neural_clutter_env(net=net_init, hidden=tuple(args.hidden),
+                                  train=True, barrier=args.barrier)
     states = envs_mod.make_batched_reset(env, args.batch)(
         jax.random.PRNGKey(args.seed))
     # remat: BPTT through ticks x 10 substeps at this batch size needs the

@@ -37,13 +37,18 @@ def clearance_aux(model, sim):
 
 
 def make_neural_clutter_env(key=None, net: dict | None = None,
-                            hidden=(32, 32), train: bool = False):
+                            hidden=(32, 32), train: bool = False,
+                            barrier: bool = False):
     """franka/randomized_cluttered with the obstacle leaf swapped for the
     learned one (same grouped distance taskmap + ctx mask protocol).
 
     train=True: resampling/stuck hooks off (clean first-goal BPTT episodes)
     and aux carries the per-pair distance matrix for the collision loss.
     net=None initializes fresh from `key` (training).
+    barrier=True: the structural near-contact authority variant (repulsion
+    boost + 1/x metric exploder, policies/neural.py) — measured to learn
+    low-penetration but weaker-reach policies; the committed asset uses
+    the unconstrained head (see DESIGN.md round-3 notes).
     """
     import jax
 
@@ -57,8 +62,10 @@ def make_neural_clutter_env(key=None, net: dict | None = None,
         net = neural.mlp_init(
             key if key is not None else jax.random.PRNGKey(0),
             (neural.OBSTACLE_FEATURES, *hidden, 2))
+    kw = (dict(repulsion_boost=40.0, metric_exploder_std_dev=0.02)
+          if barrier else {})
     pol = neural.neural_obstacle(taskmap=hand.taskmap, net=net,
-                                 name="neural_obstacle")
+                                 name="neural_obstacle", **kw)
     pol.ctx_key = hand.ctx_key
     env = dataclasses.replace(base, name="franka/neural_clutter",
                               policies=base.policies[:-1] + (pol,))

@@ -160,9 +160,9 @@ def transparent_obstacle_init(net: dict, metric_raw: float = -4.0,
 def neural_obstacle(taskmap, net: dict, support_radius: float = 0.5,
                     feat_sigma: float = 0.1, vel_scale: float = 1.0,
                     accel_scale: float = 20.0, metric_scale: float = 5.0,
-                    repulsion_boost: float = 40.0,
+                    repulsion_boost: float = 0.0,
                     repulsion_sigma: float = 0.01,
-                    metric_exploder_std_dev: float = 0.02,
+                    metric_exploder_std_dev: float | None = None,
                     metric_exploder_eps: float = 0.001,
                     name: str = "neural_obstacle") -> Policy:
     """Learned obstacle-avoidance leaf on a 1-D distance taskmap.
@@ -183,6 +183,11 @@ def neural_obstacle(taskmap, net: dict, support_radius: float = 0.5,
     if int(w_last.shape[-1]) != 2:
         raise ValueError(
             f"net output width {int(w_last.shape[-1])} != 2 (accel, metric)")
+    if metric_exploder_std_dev is None:
+        # identity barrier: 1/(x/1e9 + 1.0) == 1.0 to fp32 precision over
+        # the whole support — the exploder factor vanishes from the math
+        # without a second traced code path
+        metric_exploder_std_dev, metric_exploder_eps = 1e9, 1.0
     params = dict(net=net,
                   support_radius=jnp.asarray(support_radius, jnp.float32),
                   feat_sigma=jnp.asarray(feat_sigma, jnp.float32),
