@@ -11,8 +11,9 @@ configuration, so the learned leaf is evaluated under identical conditions
 as the hand-designed yardstick (reports/eval_randomized.json).
 
 Training recipe for the committed asset (assets/neural_clutter_franka.npz):
-    python experiments/train_neural_clutter.py --seed 2 --batch 1024 \
-        --ticks 100 --steps 300 --lr 2e-3 --save assets/neural_clutter_franka.npz
+    python experiments/train_neural_clutter.py --seed 0 --batch 1024 \
+        --ticks 100 --steps 400 --lr 1e-3 --w-collision 30 --barrier \
+        --save assets/neural_clutter_franka.npz   # TPU, ~30 min
 """
 from __future__ import annotations
 
@@ -87,6 +88,9 @@ def load_trained_net(path: str = _ASSET) -> dict:
 
 
 def env_neural_clutter():
-    """Registered scenario: TRAINED obstacle leaf, production randomized
-    cluttered configuration (resampling + stuck detection on)."""
-    return make_neural_clutter_env(net=load_trained_net())
+    """Registered scenario: TRAINED obstacle leaf (barrier variant),
+    production randomized cluttered configuration (resampling + stuck
+    detection on). Committed asset: 92.1% success / 1.5% final
+    penetration on 4096 envs x 300 ticks (hand-designed leaf: 92.9% /
+    1.0%; reports/eval_neural_clutter.json)."""
+    return make_neural_clutter_env(net=load_trained_net(), barrier=True)

@@ -190,3 +190,33 @@ def test_training_descends_and_beats_init():
     m1 = jax.jit(lambda n: metrics(n)[1])(net)
     assert v_last < 0.8 * v_first, (v_first, v_last)
     assert float(m1["mean_final_dist"]) < float(m0["mean_final_dist"])
+
+
+@pytest.mark.slow
+def test_trained_clutter_asset_behaves():
+    """franka/neural_clutter (committed learned obstacle leaf, barrier
+    variant) on unseen randomized scenes: reaches like the hand-designed
+    stack and keeps collisions near the spawn floor. Committed asset
+    measures (4096 envs x 300 ticks, TPU): success 92.1% / final
+    penetration 1.5% vs the hand leaf's 92.9% / 1.0%. Here: 32 unseen
+    episodes x 100 ticks without resampling — mean final distance under
+    0.3 m (trained: 0.084) and ever-penetrated rate under 0.6 (trained:
+    0.24 against a 0.21 deep-penetration-spawn floor) fail hard on asset
+    regression while tolerating CPU-batch noise."""
+    from rmp_tpu import envs as envs_mod
+    from rmp_tpu.envs.neural_clutter import clearance_aux
+    import dataclasses
+
+    env = dataclasses.replace(envs_mod.make("franka/neural_clutter"),
+                              on_solved=None, stuck_fn=None,
+                              aux_fn=clearance_aux)
+    states = envs_mod.make_batched_reset(env, 32)(jax.random.PRNGKey(123))
+    final, aux = jax.jit(envs_mod.make_batched_rollout(env, 100))(
+        states, env.gather_params())
+    d = np.linalg.norm(np.asarray(aux["ee"][:, -1])
+                       - np.asarray(final.sim.goal), axis=-1)
+    assert np.all(np.isfinite(d))
+    assert d.mean() < 0.3, f"trained clutter policy regressed: {d.mean()}"
+    ever_pen = (np.asarray(aux["obst_d"]).min(axis=(-2, -1)).min(axis=-1)
+                < -0.01).mean()
+    assert ever_pen < 0.6, f"collision behavior regressed: {ever_pen}"
