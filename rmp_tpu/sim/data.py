@@ -89,8 +89,18 @@ def distance_context_batched(model: KinematicModel, T_all_b: Array,
                 lambda T, o: robot_obstacle_distances_hull(model, T, o))(
                     T_b, obs_b)
             return pl_, po, n, d, po - pl_
-        q = jax.lax.platform_dependent(T_all_b, obstacles_b, warm,
-                                       tpu=kernel_path, default=xla_path)
+        # Trace-time backend dispatch, NOT lax.platform_dependent: the
+        # runtime switch's branch boundary forced copies of every operand
+        # and result each tick (no aliasing through lax.switch branches) —
+        # measured 22% of hull-tier device time (trace_report --by-source,
+        # all attributed to this line). default_backend() is correct for
+        # every path this repo compiles (tests/viewer/gifs pin the cpu
+        # backend via jax.config before tracing); ops/gjk.support_hull keeps
+        # platform_dependent because its reduce has no CPU lowering at all.
+        if jax.default_backend() == "tpu":
+            q = kernel_path(T_all_b, obstacles_b, warm)
+        else:
+            q = xla_path(T_all_b, obstacles_b, warm)
     else:
         ctx = jax.vmap(lambda T, o: distance_context(
             model, T, o, geometry))(T_all_b, obstacles_b)
