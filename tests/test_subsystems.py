@@ -370,6 +370,25 @@ def test_bench_json_contract():
     assert r["value"] > 0
 
 
+def test_latency_report_contract():
+    """experiments/latency.py's measure(): closed-loop per-tick latency
+    stats with the documented report schema (tiny CPU config)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "experiments"))
+    import latency
+    rep = latency.measure("two_joint/01_target_rmp_only", [2], ticks=3,
+                          geometry="capsule")
+    assert rep["platform"] == "cpu"
+    assert rep["control_period_s"] > 0
+    (pt,) = rep["points"]
+    assert pt["batch"] == 2 and not pt["fused_resolve"]
+    for k in ("p50_ms", "p90_ms", "p99_ms", "realtime_factor_p50",
+              "control_rate_hz_p50", "batched_steps_per_sec_p50"):
+        assert pt[k] > 0, k
+    assert pt["p50_ms"] <= pt["p90_ms"] <= pt["p99_ms"]
+
+
 def test_trace_report_event_parsing():
     """The perf-attribution tool's trace parsing is the ground truth for
     every device-time claim in ROADMAP/DESIGN — pin its behavior on a
