@@ -13,6 +13,11 @@ C++ stepSimulation blocks gradients.
 
 Usage: python experiments/train_neural_clutter.py [--steps 300]
            [--batch 1024] [--ticks 100] [--cpu] [--save weights.npz]
+           [--ckpt train.ckpt [--resume] [--stop-after N]]
+
+Checkpoint/resume: same contract as train_neural_rmp.py — --ckpt writes an
+atomic checkpoint (net + optimizer state + best iterate) every --ckpt-every
+steps, --resume continues in place, --stop-after time-slices a schedule.
 """
 import argparse
 import dataclasses
@@ -75,6 +80,17 @@ def main():
                          "(repulsion boost + 1/x metric exploder)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--save", default=None)
+    ap.add_argument("--ckpt", default=None,
+                    help="training checkpoint file (net + optimizer state "
+                         "+ best iterate), written atomically every "
+                         "--ckpt-every steps and at the end")
+    ap.add_argument("--ckpt-every", type=int, default=25)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from --ckpt if it exists")
+    ap.add_argument("--stop-after", type=int, default=0,
+                    help="stop this invocation after N optimizer steps "
+                         "while keeping the full --steps lr schedule "
+                         "(time-sliced training; resume with --resume)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -175,7 +191,13 @@ def main():
     net = net0
     opt_state = opt.init(net)
     best_val, best_net = float("inf"), net
-    for step in range(args.steps):
+    start = 0
+    if args.ckpt and args.resume and os.path.exists(args.ckpt):
+        from rmp_tpu.utils.checkpoint import restore_train_checkpoint
+        start, net, opt_state, best_val, best_net = \
+            restore_train_checkpoint(args.ckpt, net, opt_state)
+        print(f"resumed {args.ckpt} at step {start}")
+    for step in range(start, args.steps):
         val, grad, gnorm, dropped = vg(net)
         if float(val) < best_val:
             best_val, best_net = float(val), net
@@ -186,6 +208,16 @@ def main():
             print(f"step {step:4d}  loss {float(val):.4f}  "
                   f"gnorm {float(gnorm):.2e}  dropped {float(dropped):.3f}  "
                   + "  ".join(f"{k} {float(v):.4f}" for k, v in m.items()))
+        done = step + 1
+        if args.ckpt and (done % args.ckpt_every == 0 or done == args.steps
+                          or done - start == args.stop_after):
+            from rmp_tpu.utils.checkpoint import save_train_checkpoint
+            save_train_checkpoint(args.ckpt, done, net, opt_state,
+                                  best_val, best_net)
+        if args.stop_after and done - start >= args.stop_after:
+            print(f"stopping after {args.stop_after} steps "
+                  f"(at step {done}/{args.steps})")
+            return
 
     val = vg(net)[0]
     if float(val) < best_val:

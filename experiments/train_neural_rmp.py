@@ -11,6 +11,13 @@ blocks gradients.
 
 Usage: python experiments/train_neural_rmp.py [--steps 60] [--batch 128]
            [--ticks 50] [--cpu] [--remat] [--save weights.npz]
+           [--ckpt train.ckpt [--resume] [--stop-after N]]
+
+Checkpoint/resume: --ckpt writes an atomic training checkpoint (net +
+optimizer state incl. the lr-schedule step + best-loss iterate) every
+--ckpt-every steps; --resume continues a run bit-exactly
+(tests/test_neural.py::test_trainer_checkpoint_resume_equivalence), and
+--stop-after N time-slices a long schedule across invocations.
 
 The BPTT landscape (gradients through T ticks x 10 chained substeps) is
 multi-modal and seed-sensitive: at 256 envs x 80 ticks x 250 steps, seed 0
@@ -106,6 +113,19 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the tick (long-horizon training)")
     ap.add_argument("--save", default=None, help="save trained net (.npz)")
+    ap.add_argument("--ckpt", default=None,
+                    help="training checkpoint file (net + optimizer state "
+                         "+ best iterate), written atomically every "
+                         "--ckpt-every steps and at the end")
+    ap.add_argument("--ckpt-every", type=int, default=25)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from --ckpt if it exists (the lr "
+                         "schedule resumes in place via the optimizer's "
+                         "step count)")
+    ap.add_argument("--stop-after", type=int, default=0,
+                    help="stop this invocation after N optimizer steps "
+                         "while keeping the full --steps lr schedule "
+                         "(time-sliced training; resume with --resume)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -139,7 +159,13 @@ def main():
     # chaotic landscape (late steps can jump basins even at decayed lr), so
     # the final iterate is not the best one
     best_val, best_net = float("inf"), net
-    for step in range(args.steps):
+    start = 0
+    if args.ckpt and args.resume and os.path.exists(args.ckpt):
+        from rmp_tpu.utils.checkpoint import restore_train_checkpoint
+        start, net, opt_state, best_val, best_net = \
+            restore_train_checkpoint(args.ckpt, net, opt_state)
+        print(f"resumed {args.ckpt} at step {start}")
+    for step in range(start, args.steps):
         val, grad = vg(net)
         if float(val) < best_val:
             best_val, best_net = float(val), net
@@ -150,6 +176,16 @@ def main():
             print(f"step {step:4d}  loss {float(val):.4f}  "
                   f"mean_final_dist {float(m['mean_final_dist']):.4f} m  "
                   f"solved {float(m['solved']):.1%}")
+        done = step + 1
+        if args.ckpt and (done % args.ckpt_every == 0 or done == args.steps
+                          or done - start == args.stop_after):
+            from rmp_tpu.utils.checkpoint import save_train_checkpoint
+            save_train_checkpoint(args.ckpt, done, net, opt_state,
+                                  best_val, best_net)
+        if args.stop_after and done - start >= args.stop_after:
+            print(f"stopping after {args.stop_after} steps "
+                  f"(at step {done}/{args.steps})")
+            return
 
     # the loop scores each net BEFORE its update — evaluate the final
     # iterate too so the last step's net can be selected as best

@@ -33,6 +33,34 @@ def restore_checkpoint(path: str, like):
     return jax.tree.unflatten(treedef, leaves)
 
 
+def save_train_checkpoint(path: str, step: int, net, opt_state,
+                          best_val: float, best_net) -> None:
+    """Training-loop checkpoint for the neural-RMP trainers
+    (experiments/train_neural_rmp.py, train_neural_clutter.py): the live
+    net, the optax optimizer state (including the schedule step count, so
+    the lr schedule resumes in place), the best-loss iterate, and the loop
+    position. Written atomically (tmp + rename) so a kill mid-write never
+    corrupts the previous checkpoint."""
+    tree = dict(step=np.asarray(step, np.int32),
+                best_val=np.asarray(best_val, np.float32),
+                net=net, opt_state=opt_state, best_net=best_net)
+    tmp = path + ".tmp"
+    save_checkpoint(tmp, tree)
+    os.replace(tmp, path)
+
+
+def restore_train_checkpoint(path: str, net, opt_state):
+    """Restore a save_train_checkpoint file against the shapes of a freshly
+    initialized (net, opt_state). Returns (step, net, opt_state, best_val,
+    best_net)."""
+    tmpl = dict(step=np.zeros((), np.int32),
+                best_val=np.zeros((), np.float32),
+                net=net, opt_state=opt_state, best_net=net)
+    c = restore_checkpoint(path, tmpl)
+    return (int(c["step"]), c["net"], c["opt_state"],
+            float(c["best_val"]), c["best_net"])
+
+
 def save_checkpoint_sharded(path: str, tree) -> None:
     """Orbax checkpoint of a (possibly sharded) pytree — each host writes its
     own shards; restores onto any compatible mesh. Use for pod-scale batched

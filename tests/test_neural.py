@@ -193,6 +193,37 @@ def test_training_descends_and_beats_init():
 
 
 @pytest.mark.slow
+def test_trainer_checkpoint_resume_equivalence(tmp_path, monkeypatch):
+    """A training run interrupted by --stop-after and resumed with --resume
+    produces the SAME weights as the uninterrupted run: the checkpoint
+    carries the optimizer state (schedule step count included), the best
+    iterate, and the loop position."""
+    from experiments import train_neural_rmp as trainer
+
+    straight = tmp_path / "straight.npz"
+    resumed = tmp_path / "resumed.npz"
+    ckpt = tmp_path / "train.ckpt"
+    common = ["train_neural_rmp.py", "--batch", "4", "--ticks", "4",
+              "--steps", "4", "--hidden", "6", "--seed", "0"]
+
+    monkeypatch.setattr(sys, "argv", common + ["--save", str(straight)])
+    trainer.main()
+    monkeypatch.setattr(sys, "argv", common + ["--ckpt", str(ckpt),
+                                               "--stop-after", "2"])
+    trainer.main()
+    assert ckpt.exists()
+    monkeypatch.setattr(sys, "argv", common + ["--ckpt", str(ckpt),
+                                               "--resume",
+                                               "--save", str(resumed)])
+    trainer.main()
+
+    a, b = np.load(straight), np.load(resumed)
+    assert sorted(a.files) == sorted(b.files)
+    for k in a.files:
+        np.testing.assert_allclose(a[k], b[k], rtol=0, atol=1e-7, err_msg=k)
+
+
+@pytest.mark.slow
 def test_trained_clutter_asset_behaves():
     """franka/neural_clutter (committed learned obstacle leaf, barrier
     variant) on unseen randomized scenes: reaches like the hand-designed
