@@ -68,8 +68,13 @@ def distance_context_batched(model: KinematicModel, T_all_b: Array,
 
     warm: optional (B, L, K, 3) previous-tick witness directions
     (temporal warm start, see the collision module); iters defaults to 10
-    cold and RMP_GJK_ITERS (4) warm. Returns (ctx, warm_next);
-    warm_next is None outside the hull path."""
+    cold and RMP_GJK_ITERS (4) warm. The default is accuracy-certified at
+    the ROLLOUT level (experiments/gjk_warm_accuracy.py, reports/
+    gjk_warm_accuracy.json): 4 warm iters hold |err| mean 0.05 mm / max
+    1.6 mm in the repulsion-dominant < 0.1 m band over 150-tick flagship
+    rollouts; 3 is +8.4% throughput but 0.43 mm / 4.9 mm there, 2 is
+    unusable (29 mm). Returns (ctx, warm_next); warm_next is None outside
+    the hull path."""
     B = T_all_b.shape[0]
     if geometry == "hull" and B % 128 == 0:
         from rmp_tpu.sim.collision import (
