@@ -370,6 +370,31 @@ def test_bench_json_contract():
     assert r["value"] > 0
 
 
+def test_aot_export_roundtrip():
+    """experiments/aot_export.py: the serialized flat-calling-convention
+    artifact deserializes and reproduces the direct jit rollout exactly —
+    the compile-once serving path."""
+    from jax import export as jexport
+
+    from experiments import aot_export
+
+    name = "two_joint/01_target_rmp_only"
+    data, manifest, flat = aot_export.export_step(name, batch=4, ticks=2,
+                                                  platforms=None)
+    assert manifest["n_state_leaves"] + manifest["n_param_leaves"] \
+        == len(flat)
+    exp = jexport.deserialize(data)
+    got = [np.asarray(o) for o in exp.call(*flat)]
+
+    env = envs.make(name)
+    env.resolve_method = "solve"
+    states = envs.make_batched_reset(env, 4)(jax.random.PRNGKey(0))
+    rollout = jax.jit(envs.make_batched_rollout(env, 2, with_aux=False))
+    direct, _ = rollout(states, env.gather_params())
+    for g, d in zip(got, jax.tree.leaves(direct)):
+        np.testing.assert_allclose(g, np.asarray(d), rtol=0, atol=1e-6)
+
+
 def test_latency_report_contract():
     """experiments/latency.py's measure(): closed-loop per-tick latency
     stats with the documented report schema (tiny CPU config)."""
