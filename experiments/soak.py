@@ -99,6 +99,8 @@ def main():
         checkpoints=checks[-3:],
     )
     tag = args.env.replace("/", "_")
+    if args.geometry != "capsule":      # don't overwrite the capsule report
+        tag += f"_{args.geometry}"
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
                        "reports", f"soak_{tag}.json")
     with open(out, "w") as f:

@@ -47,9 +47,10 @@ def make_neural_clutter_env(key=None, net: dict | None = None,
     and aux carries the per-pair distance matrix for the collision loss.
     net=None initializes fresh from `key` (training).
     barrier=True: the structural near-contact authority variant (repulsion
-    boost + 1/x metric exploder, policies/neural.py) — measured to learn
-    low-penetration but weaker-reach policies; the committed asset uses
-    the unconstrained head (see DESIGN.md round-3 notes).
+    boost + 1/x metric exploder, policies/neural.py). The COMMITTED asset
+    is this variant (92.1% success / 1.5% penetration); the unconstrained
+    head trades the other way (96.6% / 9.6%) — a bounded head cannot learn
+    an unbounded barrier (DESIGN.md round-3 notes).
     """
     import jax
 
@@ -92,5 +93,11 @@ def env_neural_clutter():
     production randomized cluttered configuration (resampling + stuck
     detection on). Committed asset: 92.1% success / 1.5% final
     penetration on 4096 envs x 300 ticks (hand-designed leaf: 92.9% /
-    1.0%; reports/eval_neural_clutter.json)."""
-    return make_neural_clutter_env(net=load_trained_net(), barrier=True)
+    1.0%; reports/eval_neural_clutter.json).
+
+    RMP_NEURAL_CLUTTER_ASSET overrides the weights file, so retrained
+    candidates evaluate through the standard sweep CLI
+    (experiments/evaluate.py --env franka/neural_clutter) before being
+    committed as the asset."""
+    path = os.environ.get("RMP_NEURAL_CLUTTER_ASSET", _ASSET)
+    return make_neural_clutter_env(net=load_trained_net(path), barrier=True)
