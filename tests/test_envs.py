@@ -482,3 +482,19 @@ def test_progress_based_stuck_detection():
     assert int(np.asarray(aux["resample"]).sum()) > 0
     # goal_best tracks a real distance (finite once any tick ran)
     assert np.isfinite(np.asarray(final.goal_best)).all()
+
+
+@pytest.mark.slow
+def test_every_registered_scenario_rolls_finite():
+    """Registry-wide wiring smoke: every registered scenario constructs,
+    resets batched, and rolls 2 ticks to a finite state. Individual
+    behavior tests cover each family in depth; this guards the REGISTRY
+    entries themselves (a renamed builder, a missing asset, a non-finite
+    first tick) so breakage surfaces here, not in a user's first run."""
+    for name in envs.REGISTRY:
+        env = envs.make(name)
+        states = envs.make_batched_reset(env, 2)(jax.random.PRNGKey(0))
+        final, _ = jax.jit(envs.make_batched_rollout(env, 2))(
+            states, env.gather_params())
+        q = np.asarray(final.sim.q)
+        assert q.shape[0] == 2 and np.all(np.isfinite(q)), name
