@@ -88,7 +88,12 @@ def main():
         @jax.jit
         @jax.vmap
         def goal_clear(sim):
-            d = point_capsule_distance(sim.goal, sim.obstacles)
+            # multi-goal envs (dual-arm) carry (G, 3) goals; feasibility =
+            # EVERY goal clear, so report the min clearance over goals
+            goals = sim.goal.reshape(-1, 3)
+            d = jax.vmap(
+                lambda g: jnp.min(point_capsule_distance(g, sim.obstacles)))(
+                    goals)
             return jnp.min(d)
         from rmp_tpu.sim.collision import capsule_capsule_query
 

@@ -28,6 +28,7 @@ REGISTRY = {
     "franka/moving_obstacles": franka.env_moving_obstacles,
     "franka/moving_goal": franka.env_moving_goal,
     "dual_panda/handover": dual.env_handover,
+    "dual_panda/randomized_clutter": dual.env_randomized_clutter,
     "ur5/01_target_reaching": ur5.env_01_target_reaching,
     "ur5/02_obstacle_avoidance": ur5.env_02_obstacle_avoidance,
 }

@@ -132,6 +132,10 @@ class Env:
     # EE-goal improvement (m) that counts as progress for the
     # EnvState.no_progress counter stuck_fn implementations consume
     progress_eps: float = 0.01
+    # custom scalar goal distance fn(env, sim) -> f32 for the progress
+    # bookkeeping above; None = |EE - goal| (multi-goal scenes, e.g.
+    # dual-arm, need their own — the default broadcasts wrongly there)
+    goal_distance_fn: Callable | None = None
     # opt-in extra per-tick aux: fn(model, sim) -> dict merged into the
     # tick's aux after the substeps (training losses that need signals the
     # default aux lacks, e.g. min obstacle clearance for collision-shaped
@@ -274,7 +278,9 @@ def _advance(env: Env, state: EnvState, qdd):
         if sim.goal is not None:
             # progress bookkeeping (see EnvState.goal_best): the FK here
             # CSEs with is_solved/aux — one sweep per tick either way
-            d = jnp.linalg.norm(ee_position(env, sim) - sim.goal)
+            d = (env.goal_distance_fn(env, sim)
+                 if env.goal_distance_fn is not None
+                 else jnp.linalg.norm(ee_position(env, sim) - sim.goal))
             improved = d < state.goal_best - env.progress_eps
             state = dataclasses.replace(
                 state, goal_best=jnp.minimum(state.goal_best, d),

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,18 +58,57 @@ def _ee_taskmap(model, frame):
     return tm.chain(tm.fk_frame(model, frame), tm.to_position())
 
 
+def _distal_frames(model, prefix):
+    return [i for i in model.collision_frames
+            if model.link_names[i].startswith(prefix)
+            and model.link_names[i][2:] in _DISTAL]
+
+
+def _inter_arm_policies(model):
+    """(policies, left_frames, cross_pairs): one v1 collision-avoidance
+    policy per distal L collision frame over its L x R closest-point rows
+    (franka/03 self-avoidance pattern; repulsion fires only on genuine
+    approach). ctx keys are namespaced 'inter_arm:<frame>' so they never
+    collide with the obstacle distance context's per-frame entries."""
+    left, right = _distal_frames(model, "L_"), _distal_frames(model, "R_")
+    pairs = tuple((a, b) for a in left for b in right)
+    policies = []
+    for f in left:
+        frame = model.frame_names[f]
+        taskmap = tm.chain(tm.fk_frame(model, frame), tm.relative_points())
+        pol = v1.collision_avoidance(
+            taskmap=taskmap, eta_rep=0.1 * np.e, nu_rep=0.3, eta_damp=0.5,
+            nu_damp=0.3, r=0.15, c=1e5, name=f"inter_arm_for_{frame}")
+        pol.ctx_key = f"inter_arm:{frame}"
+        policies.append(pol)
+    return policies, left, pairs
+
+
+def _inter_arm_ctx(model, T_all, left, pairs, hull: bool) -> dict:
+    """Per-left-frame ctx dicts from the inter-arm closest-point queries."""
+    if hull:
+        from rmp_tpu.sim.collision import robot_self_distances_hull
+        pos_a, pos_b, normal, dist = robot_self_distances_hull(
+            model, T_all, pairs)
+    else:
+        pos_a, pos_b, normal, dist = robot_self_distances(model, T_all, pairs)
+    ctx = {}
+    for f in left:
+        rows = [i for i, (a, _) in enumerate(pairs) if a == f]
+        idx = jnp.asarray(rows)
+        T = T_all[f]
+        rel = geom.mv(T[:3, :3].T, pos_a[idx] - T[:3, 3])
+        ctx[f"inter_arm:{model.frame_names[f]}"] = dict(
+            pos_on_link=pos_a[idx], pos_on_obstacle=pos_b[idx],
+            normal=normal[idx], distance=dist[idx],
+            relative_position=rel, mask=jnp.ones_like(dist[idx]))
+    return ctx
+
+
 def env_handover() -> Env:
     model = robots.dual_panda(separation=0.9)
     q_ready = robots.dual_panda_q_ready(model)
-
-    # cross pairs: every distal L collision frame x every distal R frame
-    def distal(prefix):
-        return [i for i in model.collision_frames
-                if model.link_names[i].startswith(prefix)
-                and model.link_names[i][2:] in _DISTAL]
-
-    left, right = distal("L_"), distal("R_")
-    pairs = tuple((a, b) for a in left for b in right)
+    inter_arm, left, pairs = _inter_arm_policies(model)
 
     policies = [
         v2.target_attractor(
@@ -92,39 +132,13 @@ def env_handover() -> Env:
                           damping_gain=2, robust_position_term_thresh=0.5,
                           inertia=0.0001),
     ]
-    # inter-arm avoidance: one policy per distal L frame over its pair rows
-    # (franka/03 pattern; repulsion fires only on genuine approach)
-    for f in left:
-        frame = model.frame_names[f]
-        taskmap = tm.chain(tm.fk_frame(model, frame), tm.relative_points())
-        pol = v1.collision_avoidance(
-            taskmap=taskmap, eta_rep=0.1 * np.e, nu_rep=0.3, eta_damp=0.5,
-            nu_damp=0.3, r=0.15, c=1e5, name=f"inter_arm_for_{frame}")
-        pol.ctx_key = frame
-        policies.append(pol)
-    policies = tuple(policies)
+    policies = tuple(policies + inter_arm)
 
     def context_fn(model_, sim, T_all=None):
         if T_all is None:
             T_all = K.fk_all(model_, sim.q)
-        if env.collision_geometry == "hull":
-            from rmp_tpu.sim.collision import robot_self_distances_hull
-            pos_a, pos_b, normal, dist = robot_self_distances_hull(
-                model_, T_all, pairs)
-        else:
-            pos_a, pos_b, normal, dist = robot_self_distances(model_, T_all,
-                                                              pairs)
-        ctx = {}
-        for f in left:
-            rows = [i for i, (a, _) in enumerate(pairs) if a == f]
-            idx = jnp.asarray(rows)
-            T = T_all[f]
-            rel = geom.mv(T[:3, :3].T, pos_a[idx] - T[:3, 3])
-            ctx[model_.frame_names[f]] = dict(
-                pos_on_link=pos_a[idx], pos_on_obstacle=pos_b[idx],
-                normal=normal[idx], distance=dist[idx],
-                relative_position=rel, mask=jnp.ones_like(dist[idx]))
-        return ctx
+        return _inter_arm_ctx(model_, T_all, left, pairs,
+                              env.collision_geometry == "hull")
 
     iL = model.frame_index(EE_L)
     iR = model.frame_index(EE_R)
@@ -167,4 +181,133 @@ def env_handover() -> Env:
               bind_params=bind_params, is_solved_fn=is_solved_fn,
               context_fn=context_fn, on_solved=on_solved,
               resolve_method="solve", max_qdd=1000.0)
+    return env
+
+
+# --- randomized dual-arm clutter -------------------------------------------
+
+# the shared workspace between the two bases (y = ±0.45): obstacles spawn in
+# the contested middle; each arm's goals favor its own half but overlap the
+# center so the arms keep crossing paths
+_OBS_BOX = ((0.10, -0.28, 0.15), (0.50, 0.28, 0.85))
+_GOAL_BOX_L = ((0.15, -0.05, 0.30), (0.50, 0.30, 0.65))
+_GOAL_BOX_R = ((0.15, -0.30, 0.30), (0.50, 0.05, 0.65))
+
+
+def env_randomized_clutter(n_obstacles: int = 5) -> Env:
+    """Domain-randomized dual-arm clutter: the production-evaluation
+    counterpart of dual_panda/handover — every env draws its own obstacle
+    set in the shared workspace, per-arm goals rejection-sampled clear of
+    them (sim/randomizer box samplers), jittered initial configs, and
+    progress-based goal resampling (franka/randomized_cluttered pattern).
+    Exercises the full multi-robot stack under randomization: per-arm
+    attractors, grouped obstacle avoidance over BOTH arms' collision
+    frames, and inter-arm closest-point repulsion, in one compiled program.
+    Beyond-reference capability (the reference is single-robot throughout,
+    SURVEY.md §2)."""
+    from rmp_tpu.envs.franka import _obstacle_policies
+    from rmp_tpu.sim import randomizer as rnd
+    from rmp_tpu.sim.data import distance_context
+
+    model = robots.dual_panda(separation=0.9)
+    q_ready = robots.dual_panda_q_ready(model)
+    inter_arm, left, pairs = _inter_arm_policies(model)
+
+    # per-arm attractor gains from the franka randomized retune
+    # (sweep_randomized.py: transit needs p≈2.5 / d≈1.5 and a cap above the
+    # demanded joint speeds); metric shape params from the handover stack
+    def attractor(goal, name):
+        return v2.target_attractor(
+            goal=goal, taskmap=_ee_taskmap(model, EE_L if name.endswith("L")
+                                           else EE_R),
+            accel_p_gain=2.5, accel_d_gain=1.5, accel_norm_eps=0.075,
+            metric_alpha_length_scale=0.05, min_metric_alpha=0.03,
+            max_metric_scalar=1, min_metric_scalar=0.5,
+            proximity_metric_boost_scalar=1.0,
+            proximity_metric_boost_length_scale=0.02, name=name)
+
+    policies = tuple([
+        attractor(list(_GOAL_BOX_L[0]), "attractor_L"),
+        attractor(list(_GOAL_BOX_R[0]), "attractor_R"),
+        v2.joint_velocity_cap(max_velocity=0.8, velocity_damping_region=0.15,
+                              damping_gain=5.0, metric_weight=0.05),
+        v2.joint_damping(accel_d_gain=1, metric_scalar=0.005, inertia=0.3),
+        v2.cspace_biasing(goal=q_ready, metric_scalar=0.005, position_gain=1,
+                          damping_gain=2, robust_position_term_thresh=0.5,
+                          inertia=0.0001),
+    ] + _obstacle_policies(model) + inter_arm)
+
+    def context_fn(model_, sim, T_all=None):
+        if T_all is None:
+            T_all = K.fk_all(model_, sim.q)
+        ctx = distance_context(model_, T_all, sim.obstacles,
+                               geometry=env.collision_geometry)
+        ctx.update(_inter_arm_ctx(model_, T_all, left, pairs,
+                                  env.collision_geometry == "hull"))
+        return ctx
+
+    iL = model.frame_index(EE_L)
+    iR = model.frame_index(EE_R)
+
+    def bind_params(params, sim, pols):
+        out = []
+        for p, prm in zip(pols, params):
+            if p.name == "attractor_L":
+                prm = dict(prm, goal=sim.goal[0])
+            elif p.name == "attractor_R":
+                prm = dict(prm, goal=sim.goal[1])
+            out.append(prm)
+        return tuple(out)
+
+    def arm_distances(sim):
+        eL = K.fk_frame(model, sim.q, iL)[:3, 3]
+        eR = K.fk_frame(model, sim.q, iR)[:3, 3]
+        return (jnp.linalg.norm(eL - sim.goal[0]),
+                jnp.linalg.norm(eR - sim.goal[1]))
+
+    def is_solved_fn(env_, sim):
+        dL, dR = arm_distances(sim)
+        return (dL < env_.solved_tol) & (dR < env_.solved_tol)
+
+    def goal_distance_fn(env_, sim):
+        # progress = the WORSE arm improving (matches the joint solved
+        # predicate above; summing would mask one arm regressing)
+        return jnp.maximum(*arm_distances(sim))
+
+    def sample_goals(key, obstacles):
+        kL, kR = jax.random.split(key)
+        return jnp.stack([
+            rnd.randomize_goal_box(kL, *_GOAL_BOX_L, obstacles=obstacles),
+            rnd.randomize_goal_box(kR, *_GOAL_BOX_R, obstacles=obstacles)])
+
+    def on_solved(state: EnvState) -> EnvState:
+        k, sub = jax.random.split(state.key)
+        sim = dataclasses.replace(
+            state.sim, goal=sample_goals(sub, state.sim.obstacles))
+        return dataclasses.replace(state, sim=sim, key=k, phase=state.steps)
+
+    def stuck_fn(state: EnvState):
+        return state.no_progress >= 80
+
+    space = rnd.RobotSampleSpace(
+        q_low=q_ready - 0.1, q_high=q_ready + 0.1,
+        qd_low=np.full_like(q_ready, -0.005),
+        qd_high=np.full_like(q_ready, 0.005))
+
+    def reset(key):
+        k_obs, k_robot, k_goal, k_carry = jax.random.split(key, 4)
+        obstacles = rnd.randomize_obstacles_box(k_obs, n_obstacles,
+                                                *_OBS_BOX)
+        q, qd = rnd.randomize_robot_config(k_robot, space)
+        sim = init_state(model, q=q, qd=qd, obstacles=obstacles,
+                         goal=sample_goals(k_goal, obstacles))
+        return env_state(sim, k_carry)
+
+    env = Env(name="dual_panda/randomized_clutter", model=model,
+              policies=policies, reset=reset, ee_frame=iL, solved_tol=0.03,
+              bind_params=bind_params, is_solved_fn=is_solved_fn,
+              goal_distance_fn=goal_distance_fn, context_fn=context_fn,
+              on_solved=on_solved, stuck_fn=stuck_fn,
+              enforce_velocity_limits=True, max_qdd=100.0,
+              resolve_method="solve")
     return env

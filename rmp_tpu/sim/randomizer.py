@@ -124,6 +124,14 @@ def randomize_goal(key: Array, low: Array = GOAL_CYL_LOW,
     rpz = jax.random.uniform(key, (tries, 3), minval=jnp.asarray(low),
                              maxval=jnp.asarray(high))
     cand = _cylindrical_to_cartesian(rpz)                 # (tries, 3)
+    return _pick_clear_candidate(cand, obstacles, clearance)
+
+
+def _pick_clear_candidate(cand: Array, obstacles: ObstacleSet,
+                          clearance: float) -> Array:
+    """Branchless rejection core: the first candidate point with at least
+    `clearance` of free space around it, else the most-clear candidate."""
+    tries = cand.shape[0]
     # min point-to-capsule distance per candidate
     from rmp_tpu.sim.collision import capsule_capsule_query
     _, _, _, d = capsule_capsule_query(
@@ -136,6 +144,45 @@ def randomize_goal(key: Array, low: Array = GOAL_CYL_LOW,
     fallback = jnp.arange(tries) == jnp.argmax(clear)
     pick = jnp.where(jnp.any(ok), first, fallback)
     return jnp.sum(jnp.where(pick[:, None], cand, 0.0), axis=0)
+
+
+def randomize_goal_box(key: Array, low, high,
+                       obstacles: ObstacleSet | None = None,
+                       clearance: float = 0.05, tries: int = 8) -> Array:
+    """Goal sampled uniformly in a Cartesian box, rejection-sampled clear
+    of obstacles exactly like randomize_goal.
+
+    Multi-robot shared workspaces are box-shaped around no single base, so
+    the single-robot cylindrical parameterization (reference
+    simulation.py:543-548, centered on ITS robot's base) doesn't fit them."""
+    low = jnp.asarray(low, jnp.float32)
+    high = jnp.asarray(high, jnp.float32)
+    if obstacles is None or obstacles.count == 0:
+        return jax.random.uniform(key, (3,), minval=low, maxval=high)
+    cand = jax.random.uniform(key, (tries, 3), minval=low, maxval=high)
+    return _pick_clear_candidate(cand, obstacles, clearance)
+
+
+def randomize_obstacles_box(key: Array, n_obstacles: int, low, high,
+                            radius_low: float = 0.04,
+                            radius_high: float = 0.08,
+                            height: float = 0.5) -> ObstacleSet:
+    """Cylinder obstacles with centers uniform in a Cartesian box and
+    uniformly random orientation — the box-workspace counterpart of
+    randomize_obstacles (which samples cylindrically around one robot's
+    base, reference simulation.py:495-500); one env, vmap for batches."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    center = jax.random.uniform(
+        k1, (n_obstacles, 3), minval=jnp.asarray(low, jnp.float32),
+        maxval=jnp.asarray(high, jnp.float32))
+    rpy = jax.random.uniform(k2, (n_obstacles, 3), minval=0.0,
+                             maxval=float(np.pi))
+    radius = jax.random.uniform(k3, (n_obstacles,), minval=radius_low,
+                                maxval=radius_high)
+    axis_dir = geom.rotation_matrix_from_rpy(rpy)[..., :, 2]
+    half = (height / 2.0) * axis_dir
+    return ObstacleSet(p0=center - half, p1=center + half, radius=radius,
+                       kinds=("cylinder",) * n_obstacles)
 
 
 class SceneRandomizer:

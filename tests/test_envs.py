@@ -485,6 +485,38 @@ def test_progress_based_stuck_detection():
 
 
 @pytest.mark.slow
+def test_dual_randomized_clutter_behavior():
+    """dual_panda/randomized_clutter: randomized obstacles/goals/configs on
+    the dual-arm model. Asserts the per-arm goal boxes and obstacle-clear
+    sampling hold at reset, and that a meaningful fraction of envs reach
+    the JOINT success criterion (both EEs within tol simultaneously) within
+    the horizon — CPU yardstick 69% at 16 envs x 300 ticks."""
+    from rmp_tpu.envs.dual import _GOAL_BOX_L, _GOAL_BOX_R
+
+    env = envs.make("dual_panda/randomized_clutter")
+    B = 8
+    states = envs.make_batched_reset(env, B)(jax.random.PRNGKey(3))
+    g = np.asarray(states.sim.goal)                    # (B, 2, 3)
+    assert g.shape == (B, 2, 3)
+    for arm, (lo, hi) in enumerate((_GOAL_BOX_L, _GOAL_BOX_R)):
+        assert (g[:, arm] >= np.asarray(lo) - 1e-6).all()
+        assert (g[:, arm] <= np.asarray(hi) + 1e-6).all()
+
+    final, aux = jax.jit(envs.make_batched_rollout(env, 300))(
+        states, env.gather_params())
+    solved = np.asarray(aux["solved"])
+    assert np.isfinite(np.asarray(final.sim.q)).all()
+    assert solved.any(axis=1).mean() >= 0.25
+    # the progress tracker runs on the max-arm distance (goal_distance_fn);
+    # goal_best is +inf by design right after a solve/stuck event resamples
+    # the goal (EnvState docstring), so allow inf only where the event just
+    # fired (no_progress reset to 0 on the same tick)
+    gb = np.asarray(final.goal_best)
+    fresh = np.asarray(final.no_progress) == 0
+    assert (np.isfinite(gb) | fresh).all()
+
+
+@pytest.mark.slow
 def test_every_registered_scenario_rolls_finite():
     """Registry-wide wiring smoke: every registered scenario constructs,
     resets batched, and rolls 2 ticks to a finite state. Individual

@@ -343,6 +343,44 @@ def test_randomize_goal_clear_of_obstacles():
     assert clear_count >= 62
 
 
+def test_randomize_box_samplers():
+    """Cartesian-box samplers (shared multi-robot workspaces): obstacle
+    centers stay inside the box, goal candidates respect bounds AND the
+    same obstacle-clearance rejection as the cylindrical sampler."""
+    import numpy as np
+
+    from rmp_tpu.sim import randomizer as rnd
+    from rmp_tpu.sim.collision import capsule_capsule_query
+
+    low, high = (0.1, -0.3, 0.2), (0.5, 0.3, 0.8)
+    obs = rnd.randomize_obstacles_box(jax.random.PRNGKey(0), 6, low, high,
+                                      height=0.5)
+    assert obs.count == 6 and obs.kinds == ("cylinder",) * 6
+    center = (np.asarray(obs.p0) + np.asarray(obs.p1)) / 2.0
+    assert (center >= np.asarray(low) - 1e-6).all()
+    assert (center <= np.asarray(high) + 1e-6).all()
+    # axis length = height (p0/p1 are the segment endpoints)
+    seg = np.linalg.norm(np.asarray(obs.p1) - np.asarray(obs.p0), axis=-1)
+    np.testing.assert_allclose(seg, 0.5, rtol=1e-5)
+    r = np.asarray(obs.radius)
+    assert (r >= 0.04 - 1e-6).all() and (r <= 0.08 + 1e-6).all()
+
+    clear_count = 0
+    for t in range(64):
+        g = rnd.randomize_goal_box(jax.random.PRNGKey(t), low, high,
+                                   obstacles=obs)
+        gn = np.asarray(g)
+        assert (gn >= np.asarray(low) - 1e-6).all()
+        assert (gn <= np.asarray(high) + 1e-6).all()
+        _, _, _, d = capsule_capsule_query(
+            g[None], g[None], jnp.zeros(1), obs.p0, obs.p1, obs.radius)
+        clear_count += bool(jnp.min(d) >= 0.05)
+    assert clear_count >= 60
+    # without obstacles: plain uniform draw inside the box
+    g = np.asarray(rnd.randomize_goal_box(jax.random.PRNGKey(7), low, high))
+    assert (g >= np.asarray(low)).all() and (g <= np.asarray(high)).all()
+
+
 @pytest.mark.slow
 def test_bench_json_contract():
     """bench.py prints exactly ONE JSON line with the driver's required
