@@ -295,10 +295,18 @@ def env_randomized_clutter(n_obstacles: int = 5) -> Env:
         qd_high=np.full_like(q_ready, 0.005))
 
     def reset(key):
+        from rmp_tpu.sim.collision import link_world_capsules_all
         k_obs, k_robot, k_goal, k_carry = jax.random.split(key, 4)
-        obstacles = rnd.randomize_obstacles_box(k_obs, n_obstacles,
-                                                *_OBS_BOX)
+        # sample the arms FIRST so obstacles can rejection-sample clear of
+        # the posed links: the shared-workspace box overlaps the spawn
+        # pose, and without the avoid pass 67% of envs started with a link
+        # already inside an obstacle (the task was then impossible)
         q, qd = rnd.randomize_robot_config(k_robot, space)
+        p0, p1, r, _ = link_world_capsules_all(model, K.fk_all(model, q))
+        obstacles = rnd.randomize_obstacles_box(k_obs, n_obstacles,
+                                                *_OBS_BOX,
+                                                avoid=(p0, p1, r),
+                                                avoid_clearance=0.05)
         sim = init_state(model, q=q, qd=qd, obstacles=obstacles,
                          goal=sample_goals(k_goal, obstacles))
         return env_state(sim, k_carry)

@@ -166,21 +166,50 @@ def randomize_goal_box(key: Array, low, high,
 def randomize_obstacles_box(key: Array, n_obstacles: int, low, high,
                             radius_low: float = 0.04,
                             radius_high: float = 0.08,
-                            height: float = 0.5) -> ObstacleSet:
+                            height: float = 0.5,
+                            avoid=None, avoid_clearance: float = 0.03,
+                            tries: int = 8) -> ObstacleSet:
     """Cylinder obstacles with centers uniform in a Cartesian box and
     uniformly random orientation — the box-workspace counterpart of
     randomize_obstacles (which samples cylindrically around one robot's
-    base, reference simulation.py:495-500); one env, vmap for batches."""
+    base, reference simulation.py:495-500); one env, vmap for batches.
+
+    `avoid`: optional (p0 (P,3), p1 (P,3), radius (P,)) world capsules —
+    e.g. collision.link_world_capsules_all of the robot's INITIAL pose —
+    that obstacles must spawn at least `avoid_clearance` away from. Each
+    obstacle draws `tries` candidate centers and keeps the first clear one
+    (else the most-clear), same branchless pattern as randomize_goal.
+    The cylindrical sampler gets this for free (its radial band starts
+    outside the ready pose); a free box sampler does not: without it, a
+    workspace box overlapping the spawn pose starts a majority of envs in
+    penetration (measured 67% on the dual-arm clutter scene)."""
     k1, k2, k3 = jax.random.split(key, 3)
-    center = jax.random.uniform(
-        k1, (n_obstacles, 3), minval=jnp.asarray(low, jnp.float32),
-        maxval=jnp.asarray(high, jnp.float32))
+    low = jnp.asarray(low, jnp.float32)
+    high = jnp.asarray(high, jnp.float32)
+    shape = ((n_obstacles, 3) if avoid is None
+             else (n_obstacles, tries, 3))
+    center = jax.random.uniform(k1, shape, minval=low, maxval=high)
     rpy = jax.random.uniform(k2, (n_obstacles, 3), minval=0.0,
                              maxval=float(np.pi))
     radius = jax.random.uniform(k3, (n_obstacles,), minval=radius_low,
                                 maxval=radius_high)
     axis_dir = geom.rotation_matrix_from_rpy(rpy)[..., :, 2]
-    half = (height / 2.0) * axis_dir
+    half = (height / 2.0) * axis_dir                      # (n, 3)
+    if avoid is not None:
+        from rmp_tpu.sim.collision import capsule_capsule_query
+        ap0, ap1, ar = avoid
+        c0 = center - half[:, None, :]                    # (n, tries, 3)
+        c1 = center + half[:, None, :]
+        _, _, _, d = capsule_capsule_query(
+            c0[:, :, None], c1[:, :, None], radius[:, None, None],
+            ap0, ap1, ar)                                 # (n, tries, P)
+        clear = jnp.min(d, axis=-1)                       # (n, tries)
+        ok = clear >= avoid_clearance
+        first = ok & (jnp.cumsum(ok.astype(jnp.int32), axis=1) <= 1)
+        fallback = (jnp.arange(tries)[None]
+                    == jnp.argmax(clear, axis=1)[:, None])
+        pick = jnp.where(jnp.any(ok, axis=1, keepdims=True), first, fallback)
+        center = jnp.sum(jnp.where(pick[..., None], center, 0.0), axis=1)
     return ObstacleSet(p0=center - half, p1=center + half, radius=radius,
                        kinds=("cylinder",) * n_obstacles)
 

@@ -380,6 +380,54 @@ def test_randomize_box_samplers():
     g = np.asarray(rnd.randomize_goal_box(jax.random.PRNGKey(7), low, high))
     assert (g >= np.asarray(low)).all() and (g <= np.asarray(high)).all()
 
+    # avoid pass: obstacles rejection-sample clear of given world capsules
+    # (a vertical capsule in one corner of the box — blocks a minority of
+    # the volume, so 8 tries should essentially always find a clear draw;
+    # a volume that blocks MOST of the box exercises only the most-clear
+    # fallback, by design)
+    av = (jnp.asarray([[0.15, -0.15, 0.3]]), jnp.asarray([[0.15, -0.15, 0.7]]),
+          jnp.asarray([0.05]))
+    hits = 0
+    for t in range(32):
+        obs2 = rnd.randomize_obstacles_box(jax.random.PRNGKey(t), 6, low,
+                                           high, avoid=av,
+                                           avoid_clearance=0.03)
+        _, _, _, d = capsule_capsule_query(
+            obs2.p0[:, None], obs2.p1[:, None], obs2.radius[:, None],
+            av[0], av[1], av[2])
+        hits += int((np.asarray(jnp.min(d, axis=-1)) < 0.03).sum())
+        center2 = (np.asarray(obs2.p0) + np.asarray(obs2.p1)) / 2.0
+        assert (center2 >= np.asarray(low) - 1e-6).all()
+        assert (center2 <= np.asarray(high) + 1e-6).all()
+    # 32 scenes x 6 obstacles; without avoid ~20% would intersect the band
+    assert hits <= 2
+
+
+@pytest.mark.slow
+def test_evaluate_report_contract_multi_goal():
+    """evaluate.py on a MULTI-goal env (dual-arm: (2, 3) goals): the report
+    must populate the goal-feasibility fields through the reshape(-1, 3)
+    min-over-goals clearance path (a (G, 3) goal broadcast wrongly into
+    point_capsule_distance before it) and be NaN-free."""
+    import json
+    import os
+    import subprocess
+    import sys
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "experiments", "evaluate.py"),
+         "--env", "dual_panda/randomized_clutter", "--cpu", "--batch", "8",
+         "--ticks", "10"],
+        capture_output=True, text=True, cwd=root, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    r = json.loads(out.stdout)
+    assert r["nan_rate"] == 0.0
+    assert r["goal_feasible_rate"] is not None
+    assert 0.0 <= r["goal_feasible_rate"] <= 1.0
+    # first-goal tracking stays wired under the dual env's on_solved hook
+    assert r["first_goal_success_rate"] is not None
+    assert r["final_penetration_rate"] is not None
+
 
 @pytest.mark.slow
 def test_bench_json_contract():
