@@ -12,8 +12,12 @@ config, then bake it into envs/franka.env_randomized_cluttered.
 
 Usage: python experiments/sweep_randomized.py [--envs-per-config 256]
          [--ticks 300] [--cpu] [--set accel_p_gain=0.3,0.6,1.0]
-         [--set accel_d_gain=0.6,1.2]
-(keys are policy-params dict keys; unknown keys are a hard error)
+         [--set "attractor_*:accel_d_gain=0.6,1.2"]
+(keys are policy-params dict keys; unknown keys are a hard error. An
+optional policy-name glob prefix routes the key to every matching policy —
+needed when one key lives on several policies that must move together, or
+on unrelated ones that must not; without it the franka/randomized legacy
+routing applies: attractor keys -> policy 0, obstacle keys -> last.)
 """
 import argparse
 import itertools
@@ -57,41 +61,60 @@ def main():
     env = envs.make(args.env)
     base = env.gather_params()
 
+    # an axis is "[policy_glob:]key=v1,v2,...". With a glob, the key is set
+    # on every policy whose NAME matches (fnmatch) — required for stacks
+    # where one key lives on several policies that must move together
+    # (dual-arm: attractor_L/attractor_R) or on unrelated policies that
+    # must NOT (damping_gain is on both the velocity cap and the obstacle
+    # policy). Without a glob, the legacy franka/randomized_cluttered
+    # index routing applies (attractor = policy 0, obstacle = last).
+    import fnmatch
+    names = [p.name for p in env.policies]
+
     axes = []
     for spec in args.set or ["accel_p_gain=0.3,0.6,1.0"]:
-        key, _, vals = spec.partition("=")
-        axes.append((key.strip(), [float(v) for v in vals.split(",")]))
-    grid = list(itertools.product(*[vals for _, vals in axes]))
+        sel, _, rest = spec.rpartition(":")
+        key, _, vals = rest.partition("=")
+        axes.append((sel or None, key.strip(),
+                     [float(v) for v in vals.split(",")]))
+    grid = list(itertools.product(*[vals for _, _, vals in axes]))
     G = len(grid)
 
-    applied = {key: 0 for key, _ in axes}
+    applied = {(sel, key): 0 for sel, key, _ in axes}
 
     def params_for(combo):
         out = []
         for i, prm in enumerate(base):
             prm = dict(prm)
-            for (key, _), val in zip(axes, combo):
-                if (key in ATTRACTOR_KEYS and i == 0) or \
-                   (key in OBSTACLE_KEYS and i == len(base) - 1) or \
-                   (key not in ATTRACTOR_KEYS | OBSTACLE_KEYS
-                        and key in prm):
-                    if key in prm:
-                        prm[key] = jnp.asarray(val, jnp.float32)
-                        applied[key] += 1
+            for (sel, key, _), val in zip(axes, combo):
+                if sel is not None:
+                    hit = fnmatch.fnmatch(names[i], sel) and key in prm
+                else:
+                    hit = ((key in ATTRACTOR_KEYS and i == 0) or
+                           (key in OBSTACLE_KEYS and i == len(base) - 1) or
+                           (key not in ATTRACTOR_KEYS | OBSTACLE_KEYS
+                            and key in prm)) and key in prm
+                if hit:
+                    prm[key] = jnp.asarray(val, jnp.float32)
+                    applied[(sel, key)] += 1
             out.append(prm)
         return tuple(out)
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                            *[params_for(c) for c in grid])
-    dead = [k for k, n in applied.items() if n == 0]
+    dead = [(sel, k) for (sel, k), n in applied.items() if n == 0]
     if dead:
         avail = sorted({k for prm in base for k in prm})
+        sys.stderr.write(f"policy names: {names}\n")
         sys.exit(f"--set key(s) {dead} match no policy params; a sweep over "
                  f"them would silently be a no-op. Available keys: {avail}")
 
     B = args.envs_per_config
     states = envs.make_batched_reset(env, B)(jax.random.PRNGKey(args.seed))
     rollout = envs.make_batched_rollout(env, args.ticks)
+
+    from rmp_tpu.models import kinematics as K
+    from rmp_tpu.sim.collision import robot_obstacle_distances
 
     @jax.jit
     def run(stacked_params):
@@ -103,10 +126,20 @@ def main():
             first_ev = jnp.argmax(ev, axis=1)
             sol = jnp.take_along_axis(aux["solved"], first_ev[:, None],
                                       axis=1)[:, 0]
+
+            def min_clear(sim):
+                T_all = K.fk_all(env.model, sim.q)
+                _, _, _, d = robot_obstacle_distances(env.model, T_all,
+                                                      sim.obstacles)
+                return jnp.min(d)
+            pen = (jax.vmap(min_clear)(final.sim) < -0.01
+                   if final.sim.obstacles is not None
+                   else jnp.zeros((), jnp.float32))
             return dict(
                 success=jnp.mean(solved_any.astype(jnp.float32)),
                 first_goal=jnp.mean((has_ev & sol).astype(jnp.float32)),
                 goals=jnp.mean(final.solved_count.astype(jnp.float32)),
+                penetration=jnp.mean(pen.astype(jnp.float32)),
                 nan=jnp.mean(jnp.any(jnp.isnan(final.sim.q), axis=-1)
                              .astype(jnp.float32)))
         return jax.vmap(one)(stacked_params)
@@ -117,7 +150,8 @@ def main():
 
     rows = []
     for gi, combo in enumerate(grid):
-        row = {key: val for (key, _), val in zip(axes, combo)}
+        row = {(f"{sel}:{key}" if sel else key): val
+               for (sel, key, _), val in zip(axes, combo)}
         row.update({k: round(float(v[gi]), 4) for k, v in metrics.items()})
         rows.append(row)
     rows.sort(key=lambda r: -r["success"])
