@@ -30,6 +30,9 @@ CAMERAS: dict[str, dict] = {
     "franka/moving_obstacles": dict(target=(0.0, 0.0, 0.4), distance=1.8),
     "franka/randomized_cluttered": dict(target=(0.0, 0.0, 0.4), distance=1.8),
     "franka/neural_clutter": dict(target=(0.0, 0.0, 0.4), distance=1.8),
+    # frame the shared workspace box between the two bases
+    "dual_panda/randomized_clutter": dict(target=(0.3, 0.0, 0.5),
+                                          distance=2.0),
 }
 
 
