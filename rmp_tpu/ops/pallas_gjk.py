@@ -166,7 +166,7 @@ def _johnson_lanes(y, newest_only: bool):
 
 def _kernel(verts_ref, R_ref, t_ref, p0_ref, p1_ref, an_ref, r_ref,
             cyl_ref, d0_ref, pa_ref, pb_ref, dist_ref, *,
-            iters: int, sub: int):
+            iters: int, sub: int, mxu: bool = False):
     S, L = sub, LANES
 
     def lane(ref, *idx):
@@ -191,7 +191,7 @@ def _kernel(verts_ref, R_ref, t_ref, p0_ref, p1_ref, an_ref, r_ref,
     vy = verts_ref[0, :, 1][:, None, None]
     vz = verts_ref[0, :, 2][:, None, None]
 
-    def sup_link(d):
+    def sup_link_vpu(d):
         # link-local support: d_loc = R^T d; dense (V, S, L) dot, support
         # point via the ==-max mask, count-normalized. EXACT ties average
         # to a face/ring point that still achieves the maximal dot — a
@@ -210,6 +210,38 @@ def _kernel(verts_ref, R_ref, t_ref, p0_ref, p1_ref, an_ref, r_ref,
         # back to world: R s_loc + t
         return tuple(R[c][0] * sl[0] + R[c][1] * sl[1] + R[c][2] * sl[2]
                      + t[c] for c in range(3))
+
+    # MXU variant of the support reduce: the dense dot against the vertex
+    # table IS a matmul — verts (V, 3) @ d_local (3, N) with the env tile
+    # flattened to the lane dim, and the mask-average numerators/counts a
+    # second matmul [1; x; y; z] (4, V) @ eq (V, N). Replaces ~11 V-sized
+    # VPU passes with 2 MXU ops + 2 V-sized VPU passes (max, ==).
+    # MEASURED DEAD END on the v5e (RMP_GJK_MXU=1): hull bench 3.69M vs
+    # 4.93M steps/s for the VPU reduce — the (3, S, L) <-> (3, N)
+    # boundary relayouts per support call plus a contraction depth of 3
+    # (1/42 MXU row utilization) cost more than the saved VPU passes.
+    # Kept as the documented negative result (interpret-mode equivalence
+    # pinned in tests/test_pallas_gjk.py); default stays the VPU reduce.
+    verts2d = verts_ref[0]                                   # (V, 3)
+    A2 = jnp.concatenate(
+        [jnp.ones((1, verts2d.shape[0]), jnp.float32),
+         jnp.transpose(verts2d, (1, 0))], axis=0)            # (4, V)
+
+    def sup_link_mxu(d):
+        dl = tuple(R[0][c] * d[0] + R[1][c] * d[1] + R[2][c] * d[2]
+                   for c in range(3))
+        dflat = jnp.concatenate([x.reshape(1, S * L) for x in dl], axis=0)
+        dots = jnp.dot(verts2d, dflat,
+                       preferred_element_type=jnp.float32)   # (V, N)
+        m = jnp.max(dots, axis=0, keepdims=True)
+        eq = (dots == m).astype(jnp.float32)
+        sums = jnp.dot(A2, eq, preferred_element_type=jnp.float32)
+        sl3 = sums[1:4] / sums[0:1]                          # (3, N)
+        sl = tuple(sl3[c].reshape(S, L) for c in range(3))
+        return tuple(R[c][0] * sl[0] + R[c][1] * sl[1] + R[c][2] * sl[2]
+                     + t[c] for c in range(3))
+
+    sup_link = sup_link_mxu if mxu else sup_link_vpu
 
     def sup_obs(d):
         # capsule (segment + ball) and flat-capped cylinder, selected by
@@ -277,11 +309,26 @@ def _kernel(verts_ref, R_ref, t_ref, p0_ref, p1_ref, an_ref, r_ref,
     dist_ref[0, 0, 0] = dist.reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
 def gjk_hull_obstacles(verts: Array, R: Array, t: Array, p0: Array,
                        p1: Array, an: Array, radius: Array, is_cyl: Array,
                        d0: Array, iters: int = 10,
-                       interpret: bool = False):
+                       interpret: bool = False, mxu: bool | None = None):
+    # resolve the env-var knob OUTSIDE the jitted inner: jit caches on the
+    # static-arg signature, so an inside-the-trace read would make the
+    # second (knob-flipped) call in one process silently reuse the first
+    # compilation
+    if mxu is None:
+        import os
+        mxu = os.environ.get("RMP_GJK_MXU", "0") == "1"
+    return _gjk_hull_obstacles(verts, R, t, p0, p1, an, radius, is_cyl,
+                               d0, iters=iters, interpret=interpret,
+                               mxu=mxu)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret", "mxu"))
+def _gjk_hull_obstacles(verts: Array, R: Array, t: Array, p0: Array,
+                        p1: Array, an: Array, radius: Array, is_cyl: Array,
+                        d0: Array, iters: int, interpret: bool, mxu: bool):
     """Batched link-hull vs capsule/cylinder closest points, one fused
     kernel.
 
@@ -356,7 +403,7 @@ def gjk_hull_obstacles(verts: Array, R: Array, t: Array, p0: Array,
         jax.ShapeDtypeStruct((Lk, K, 1, B), jnp.float32),
     ]
     pa, pb, dist = pl.pallas_call(
-        functools.partial(_kernel, iters=iters, sub=sub),
+        functools.partial(_kernel, iters=iters, sub=sub, mxu=mxu),
         grid=grid,
         in_specs=specs,
         out_specs=out_specs,

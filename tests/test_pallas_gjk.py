@@ -88,6 +88,25 @@ def test_kernel_interpret_agrees_at_quantiles(randomized_batch):
 
 
 @pytest.mark.slow
+def test_kernel_mxu_support_matches_vpu(randomized_batch, monkeypatch):
+    """The RMP_GJK_MXU support-reduce reformulation (a measured perf dead
+    end on the v5e, kept as the documented negative result — see the note
+    in ops/pallas_gjk._kernel) must stay numerically equivalent to the
+    default VPU reduce: same supports up to fp reordering, so distances
+    agree to ~1e-5 and witnesses to ~1e-3."""
+    model, T_all_b, obss = randomized_batch
+    got_vpu = C.robot_obstacle_distances_hull_batched(model, T_all_b, obss,
+                                                      interpret=True)
+    monkeypatch.setenv("RMP_GJK_MXU", "1")
+    got_mxu = C.robot_obstacle_distances_hull_batched(model, T_all_b, obss,
+                                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(got_mxu[3]),
+                               np.asarray(got_vpu[3]), atol=1e-4)
+    for a, b in zip(got_mxu[:2], got_vpu[:2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+@pytest.mark.slow
 def test_batched_hull_step_matches_per_env_on_cpu():
     """The fused batched step's PRE-VMAP hull context (distance_context_
     batched + in_axes plumbing) must give the same rollout as the per-env
