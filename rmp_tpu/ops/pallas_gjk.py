@@ -317,18 +317,21 @@ def gjk_hull_obstacles(verts: Array, R: Array, t: Array, p0: Array,
     # static-arg signature, so an inside-the-trace read would make the
     # second (knob-flipped) call in one process silently reuse the first
     # compilation
+    import os
     if mxu is None:
-        import os
         mxu = os.environ.get("RMP_GJK_MXU", "0") == "1"
+    sub_cap = int(os.environ.get("RMP_GJK_SUB", "32"))
     return _gjk_hull_obstacles(verts, R, t, p0, p1, an, radius, is_cyl,
                                d0, iters=iters, interpret=interpret,
-                               mxu=mxu)
+                               mxu=mxu, sub_cap=sub_cap)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret", "mxu"))
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "interpret", "mxu", "sub_cap"))
 def _gjk_hull_obstacles(verts: Array, R: Array, t: Array, p0: Array,
                         p1: Array, an: Array, radius: Array, is_cyl: Array,
-                        d0: Array, iters: int, interpret: bool, mxu: bool):
+                        d0: Array, iters: int, interpret: bool, mxu: bool,
+                        sub_cap: int = 32):
     """Batched link-hull vs capsule/cylinder closest points, one fused
     kernel.
 
@@ -353,9 +356,9 @@ def _gjk_hull_obstacles(verts: Array, R: Array, t: Array, p0: Array,
     # (V, sub, 128) support intermediates stay ~1.6 MB in VMEM). Bigger
     # tiles amortize the Mosaic per-op overhead that dominates this
     # kernel: (8,128) -> (32,128) tiles measured a large win.
-    # RMP_GJK_SUB overrides the cap (tuning knob).
-    import os
-    cap = int(os.environ.get("RMP_GJK_SUB", "32"))
+    # RMP_GJK_SUB overrides the cap (tuning knob, resolved in the public
+    # wrapper so it participates in the jit cache key).
+    cap = sub_cap
     sub = 1
     for cand in (32, 16, 8, 4, 2):
         if cand <= cap and B % (cand * LANES) == 0:
