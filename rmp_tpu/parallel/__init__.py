@@ -1,2 +1,3 @@
-from rmp_tpu.parallel.mesh import (ENV_AXIS, make_mesh,  # noqa: F401
-                                   make_sharded_rollout, shard_env_batch)
+from rmp_tpu.parallel.mesh import (ENV_AXIS, audit_collectives,  # noqa: F401
+                                   make_mesh, make_sharded_rollout,
+                                   shard_env_batch)

@@ -73,3 +73,43 @@ def make_sharded_rollout(env: Env, n_ticks: int, mesh: Mesh,
 def pmean_metrics(metrics: dict) -> dict:
     """Explicit cross-device mean for metrics computed under shard_map."""
     return jax.tree.map(lambda x: jax.lax.pmean(x, ENV_AXIS), metrics)
+
+
+def audit_collectives(compiled_hlo_text: str) -> dict:
+    """Mechanically verify the zero-comms invariant on a compiled module.
+
+    The env axis is embarrassingly parallel, so the compiled sharded rollout
+    must contain NO data-moving collectives (all-gather / all-to-all /
+    collective-permute / reduce-scatter) anywhere, and every all-reduce must
+    produce only SCALARS — the final metric reductions. An all-reduce over a
+    tensor with the env dimension would mean XLA silently resharded the
+    rollout body (the failure mode this guards against; previously only
+    stated in prose here).
+
+    Returns {"all_reduce": n, "scalar_only": True} on success; raises
+    AssertionError with the offending HLO lines otherwise. Works on
+    `jitted.lower(...).compile().as_text()` output.
+    """
+    import re
+
+    forbidden = ("all-gather", "all-to-all", "collective-permute",
+                 "reduce-scatter")
+    bad = [ln for ln in compiled_hlo_text.splitlines()
+           if any(f" {op}" in ln or f"{op}(" in ln for op in forbidden)]
+    assert not bad, (
+        "data-moving collectives in the sharded rollout "
+        "(env axis must stay embarrassingly parallel):\n" + "\n".join(bad))
+
+    n_ar = 0
+    for ln in compiled_hlo_text.splitlines():
+        if "all-reduce" not in ln or "=" not in ln:
+            continue
+        n_ar += 1
+        # result type(s) sit between '=' and the op name; every dims spec
+        # there must be [] (scalar) — metric reductions only
+        rtype = ln.split("=", 1)[1].split("all-reduce")[0]
+        dims = re.findall(r"\[([0-9,]*)\]", rtype)
+        assert dims and all(d == "" for d in dims), (
+            f"non-scalar all-reduce in sharded rollout (silent body "
+            f"resharding?): {ln.strip()}")
+    return {"all_reduce": n_ar, "scalar_only": True}
