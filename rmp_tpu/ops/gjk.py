@@ -108,8 +108,9 @@ def support_hull(verts: Array, d: Array) -> Array:
     rollouts) jvp/vjp-safe on every platform — by the envelope theorem the
     resulting distance derivative n·(∂pa/∂pose − ∂pb/∂pose) is the exact
     a.e. derivative, validated against finite differences in
-    tests/test_gjk.py. (The fused Pallas kernel path is still forward-only;
-    gradient consumers use the per-env/XLA path, as tune_gains does.)"""
+    tests/test_gjk.py. (The fused Pallas kernel path carries the same
+    envelope rule as a custom_vjp — ops/pallas_gjk._gjk_bwd — so
+    reverse-mode consumers stay on the fast kernel.)"""
     return _support_hull_impl(verts, d)
 
 

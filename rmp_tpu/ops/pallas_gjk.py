@@ -222,26 +222,32 @@ def _kernel(verts_ref, R_ref, t_ref, p0_ref, p1_ref, an_ref, r_ref,
     # (1/42 MXU row utilization) cost more than the saved VPU passes.
     # Kept as the documented negative result (interpret-mode equivalence
     # pinned in tests/test_pallas_gjk.py); default stays the VPU reduce.
-    verts2d = verts_ref[0]                                   # (V, 3)
-    A2 = jnp.concatenate(
-        [jnp.ones((1, verts2d.shape[0]), jnp.float32),
-         jnp.transpose(verts2d, (1, 0))], axis=0)            # (4, V)
+    # Guarded by `if mxu:` so the default VPU kernel structurally contains
+    # no MXU-variant ops (no reliance on Mosaic DCE).
+    if mxu:
+        verts2d = verts_ref[0]                               # (V, 3)
+        A2 = jnp.concatenate(
+            [jnp.ones((1, verts2d.shape[0]), jnp.float32),
+             jnp.transpose(verts2d, (1, 0))], axis=0)        # (4, V)
 
-    def sup_link_mxu(d):
-        dl = tuple(R[0][c] * d[0] + R[1][c] * d[1] + R[2][c] * d[2]
-                   for c in range(3))
-        dflat = jnp.concatenate([x.reshape(1, S * L) for x in dl], axis=0)
-        dots = jnp.dot(verts2d, dflat,
-                       preferred_element_type=jnp.float32)   # (V, N)
-        m = jnp.max(dots, axis=0, keepdims=True)
-        eq = (dots == m).astype(jnp.float32)
-        sums = jnp.dot(A2, eq, preferred_element_type=jnp.float32)
-        sl3 = sums[1:4] / sums[0:1]                          # (3, N)
-        sl = tuple(sl3[c].reshape(S, L) for c in range(3))
-        return tuple(R[c][0] * sl[0] + R[c][1] * sl[1] + R[c][2] * sl[2]
-                     + t[c] for c in range(3))
+        def sup_link_mxu(d):
+            dl = tuple(R[0][c] * d[0] + R[1][c] * d[1] + R[2][c] * d[2]
+                       for c in range(3))
+            dflat = jnp.concatenate(
+                [x.reshape(1, S * L) for x in dl], axis=0)
+            dots = jnp.dot(verts2d, dflat,
+                           preferred_element_type=jnp.float32)  # (V, N)
+            m = jnp.max(dots, axis=0, keepdims=True)
+            eq = (dots == m).astype(jnp.float32)
+            sums = jnp.dot(A2, eq, preferred_element_type=jnp.float32)
+            sl3 = sums[1:4] / sums[0:1]                      # (3, N)
+            sl = tuple(sl3[c].reshape(S, L) for c in range(3))
+            return tuple(R[c][0] * sl[0] + R[c][1] * sl[1]
+                         + R[c][2] * sl[2] + t[c] for c in range(3))
 
-    sup_link = sup_link_mxu if mxu else sup_link_vpu
+        sup_link = sup_link_mxu
+    else:
+        sup_link = sup_link_vpu
 
     def sup_obs(d):
         # capsule (segment + ball) and flat-capped cylinder, selected by
@@ -313,17 +319,108 @@ def gjk_hull_obstacles(verts: Array, R: Array, t: Array, p0: Array,
                        p1: Array, an: Array, radius: Array, is_cyl: Array,
                        d0: Array, iters: int = 10,
                        interpret: bool = False, mxu: bool | None = None):
+    """Public wrapper: resolves env-var knobs, then routes through the
+    DIFFERENTIABLE (custom_vjp) kernel call — reverse-mode gradients use
+    the envelope-theorem rule in _gjk_bwd (exact a.e. for the distance,
+    fixed-feature rigid model for the witnesses), so hull-mode gain tuning
+    and neural training run on the fused kernel instead of the ~4.4x-slower
+    per-env XLA fallback. Forward-mode (jvp/jacfwd) through this call is
+    unsupported — in-tick policy derivatives consume the query output as
+    per-tick constants (the reference's Datamanager semantics), so nothing
+    on the rollout path jvp's through it."""
     # resolve the env-var knob OUTSIDE the jitted inner: jit caches on the
     # static-arg signature, so an inside-the-trace read would make the
     # second (knob-flipped) call in one process silently reuse the first
-    # compilation
+    # compilation. CAVEAT: this only covers eager callers — when this
+    # function is itself traced inside an outer jit (the fused rollout
+    # path), the env vars are read at OUTER-trace time and baked into that
+    # compilation; flipping them mid-process silently reuses the outer jit
+    # cache. Set RMP_GJK_MXU / RMP_GJK_SUB before the rollout is first
+    # traced, or pass mxu= explicitly from the rollout config.
     import os
     if mxu is None:
         mxu = os.environ.get("RMP_GJK_MXU", "0") == "1"
     sub_cap = int(os.environ.get("RMP_GJK_SUB", "32"))
+    return _gjk_diff(verts, R, t, p0, p1, an, radius, is_cyl,
+                     d0, iters, interpret, mxu, sub_cap)
+
+
+# -- envelope-theorem gradients for the fused kernel ------------------------
+#
+# The kernel is a fixed-point solver: its converged witnesses (pa on the
+# link hull, pb on the obstacle) characterize the distance as
+#   d = |pa - pb|,  pa = R a_loc + t (a_loc fixed in the link frame),
+#   pb = foot(s; p0, p1) + rho * u   (s, rho, u fixed in the obstacle's
+#                                     segment frame),
+# and by the envelope theorem  dd = n . (dpa - dpb)  with n = (pa - pb)/d
+# is the EXACT a.e. derivative of the optimal value — the same trick
+# ops/gjk.support_hull's custom_jvp uses one level down on the XLA path
+# (validated vs finite differences there and in tests/test_pallas_gjk.py
+# for this rule). Witness cotangents use the same fixed-local-feature
+# rigid model: exact when the active feature is a vertex, first-order on
+# faces/edges — matching the a.e. character of the XLA path.
+#
+# an / is_cyl / d0 / verts get zero cotangents: `an` is derived from
+# p0/p1 upstream (its variation is second-order under the rigid model),
+# d0 only affects convergence (a.e. zero), vertex tables are static.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _gjk_diff(verts, R, t, p0, p1, an, radius, is_cyl, d0,
+              iters, interpret, mxu, sub_cap):
     return _gjk_hull_obstacles(verts, R, t, p0, p1, an, radius, is_cyl,
                                d0, iters=iters, interpret=interpret,
                                mxu=mxu, sub_cap=sub_cap)
+
+
+def _gjk_fwd(verts, R, t, p0, p1, an, radius, is_cyl, d0,
+             iters, interpret, mxu, sub_cap):
+    out = _gjk_hull_obstacles(verts, R, t, p0, p1, an, radius, is_cyl,
+                              d0, iters=iters, interpret=interpret,
+                              mxu=mxu, sub_cap=sub_cap)
+    pa, pb, dist = out
+    return out, (verts, R, t, p0, p1, an, radius, is_cyl, d0,
+                 pa, pb, dist)
+
+
+def _gjk_bwd(iters, interpret, mxu, sub_cap, res, cts):
+    del iters, interpret, mxu, sub_cap
+    verts, R, t, p0, p1, an, radius, is_cyl, d0, pa, pb, dist = res
+    pa_bar, pb_bar, dist_bar = cts
+    # layouts: R (L,3,3,B), t (L,3,B); p0/p1/an/d0/pa/pb (L,K,3,B);
+    # radius/is_cyl (L,K,1,B); dist (L,K,B)
+    eps = 1e-9
+    n = (pa - pb) / (dist[:, :, None] + eps)          # (L, K, 3, B)
+    g = dist_bar[:, :, None]                          # (L, K, 1, B)
+
+    # link side: pa = R a_loc + t with a_loc = R^T (pa - t) held fixed
+    w_a = n * g + pa_bar                              # (L, K, 3, B)
+    rel = pa - t[:, None]                             # (L, K, 3, B)
+    a_loc = jnp.einsum("lrcb,lkrb->lkcb", R, rel)     # R^T rel
+    t_bar = jnp.sum(w_a, axis=1)                      # (L, 3, B)
+    R_bar = jnp.einsum("lkrb,lkcb->lrcb", w_a, a_loc)
+
+    # obstacle side: pb = p0 + s (p1 - p0) + rho u with (s, rho, u) fixed;
+    # s = axial projection of pb (exactly the witness's segment foot for
+    # every capsule/cylinder feature — end caps clip to 0/1)
+    w_b = pb_bar - n * g                              # (L, K, 3, B)
+    ax = p1 - p0
+    len2 = jnp.sum(ax * ax, axis=2, keepdims=True)
+    s = jnp.clip(jnp.sum((pb - p0) * ax, axis=2, keepdims=True)
+                 / (len2 + eps), 0.0, 1.0)            # (L, K, 1, B)
+    foot = p0 + s * ax
+    off = pb - foot
+    u = off / (jnp.sqrt(jnp.sum(off * off, axis=2, keepdims=True)) + eps)
+    p0_bar = (1.0 - s) * w_b
+    p1_bar = s * w_b
+    r_bar = jnp.sum(u * w_b, axis=2, keepdims=True)   # (L, K, 1, B)
+
+    return (jnp.zeros_like(verts), R_bar, t_bar, p0_bar, p1_bar,
+            jnp.zeros_like(an), r_bar, jnp.zeros_like(is_cyl),
+            jnp.zeros_like(d0))
+
+
+_gjk_diff.defvjp(_gjk_fwd, _gjk_bwd)
 
 
 @functools.partial(jax.jit,

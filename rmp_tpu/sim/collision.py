@@ -18,9 +18,11 @@ signed distance). All functions are branchless, broadcast over leading
 batch axes, and differentiable: the capsule queries natively, the HULL/GJK
 queries via ops/gjk.support_hull's explicit envelope custom_jvp (exact a.e.
 distance derivatives on every platform; validated vs finite differences in
-tests/test_gjk.py). Exception: the fused Pallas GJK kernel
-(robot_obstacle_distances_hull_batched) is forward-only — gradient
-consumers such as gain tuning use the per-env/XLA hull path.
+tests/test_gjk.py). The fused Pallas GJK kernel
+(robot_obstacle_distances_hull_batched) carries the same envelope rule as
+a custom_vjp on its witness outputs (ops/pallas_gjk._gjk_bwd), so
+reverse-mode consumers — gain tuning, neural training — run on the fused
+kernel; only forward-mode (jvp) through the kernel is unsupported.
 """
 from __future__ import annotations
 

@@ -95,6 +95,9 @@ def test_kernel_mxu_support_matches_vpu(randomized_batch, monkeypatch):
     default VPU reduce: same supports up to fp reordering, so distances
     agree to ~1e-5 and witnesses to ~1e-3."""
     model, T_all_b, obss = randomized_batch
+    # a pre-exported RMP_GJK_MXU in the dev/CI env would make the baseline
+    # call MXU too and the comparison vacuous
+    monkeypatch.delenv("RMP_GJK_MXU", raising=False)
     got_vpu = C.robot_obstacle_distances_hull_batched(model, T_all_b, obss,
                                                       interpret=True)
     monkeypatch.setenv("RMP_GJK_MXU", "1")
@@ -104,6 +107,93 @@ def test_kernel_mxu_support_matches_vpu(randomized_batch, monkeypatch):
                                np.asarray(got_vpu[3]), atol=1e-4)
     for a, b in zip(got_mxu[:2], got_vpu[:2]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_kernel_vjp_envelope_gradient(randomized_batch):
+    """VERDICT r4 #5: the fused kernel's custom_vjp (envelope-theorem rule,
+    ops/pallas_gjk._gjk_bwd) must give the exact a.e. distance gradient
+    w.r.t. q through FK — checked against (a) the autodiff-through-
+    iterations XLA hull path and (b) central finite differences. Pairs in
+    the capsule-handoff band are masked out (there the output IS the
+    capsule result by design)."""
+    model, T_all_b, obss = randomized_batch
+    qs = None  # rebuild q from the fixture's sampler for grad input
+    keys = jax.random.split(jax.random.PRNGKey(0), 128)
+
+    def sample_q(key):
+        _, k2 = jax.random.split(key)
+        q, _ = rnd.randomize_robot_config(k2)
+        return q
+
+    qs = jax.vmap(sample_q)(keys)
+    K_obs = obss.count
+
+    # smooth loss over distances; mask pairs near the hybrid handoff or
+    # near feature transitions (envelope rule is a.e. exact)
+    pl0, po0, n0, d0, _ = C.robot_obstacle_distances_hull_batched(
+        model, T_all_b, obss, interpret=True, top_m=K_obs)
+    mask = jnp.asarray(np.asarray(d0) > 5e-3, jnp.float32)
+
+    # jit both losses: production consumers are always jitted, and in
+    # interpret mode the eager-traced kernel can break a support TIE
+    # differently from the jitted one (the executor artifact in the module
+    # docstring), shifting the a.e. gradient at kink coordinates.
+    @jax.jit
+    def loss_kernel(q_b):
+        T = jax.vmap(lambda q: K.fk_all(model, q))(q_b)
+        _, _, _, d, _ = C.robot_obstacle_distances_hull_batched(
+            model, T, obss, interpret=True, top_m=K_obs)
+        return jnp.sum(jnp.exp(-4.0 * d) * mask)
+
+    @jax.jit
+    def loss_xla(q_b):
+        T = jax.vmap(lambda q: K.fk_all(model, q))(q_b)
+        _, _, _, d = jax.vmap(lambda Tb, o: C.robot_obstacle_distances_hull(
+            model, Tb, o))(T, obss)
+        return jnp.sum(jnp.exp(-4.0 * d) * mask)
+
+    g_kernel = np.asarray(jax.grad(loss_kernel)(qs))
+    g_xla = np.asarray(jax.grad(loss_xla)(qs))
+    # global agreement: cosine + norm ratio (per-coordinate comparison is
+    # polluted by tie-breaking differences between the two support reduces)
+    cos = (g_kernel * g_xla).sum() / (
+        np.linalg.norm(g_kernel) * np.linalg.norm(g_xla) + 1e-30)
+    assert cos > 0.999, cos
+    ratio = np.linalg.norm(g_kernel) / (np.linalg.norm(g_xla) + 1e-30)
+    assert 0.98 < ratio < 1.02, ratio
+
+    # central finite differences on the kernel path, a few coordinates.
+    # Envs are independent, so d(global loss)/dq[b, j] equals the
+    # derivative of env b's own term — FD the PER-ENV loss (restrict the
+    # mask to env b) to avoid fp32 cancellation against the ~100-unit
+    # global sum (at h=3e-3 that noise floor is ~0.3 slope units, larger
+    # than the tolerance).
+    @jax.jit
+    def loss_env(q_b, env_mask):
+        T = jax.vmap(lambda q: K.fk_all(model, q))(q_b)
+        _, _, _, d, _ = C.robot_obstacle_distances_hull_batched(
+            model, T, obss, interpret=True, top_m=K_obs)
+        return jnp.sum(jnp.exp(-4.0 * d) * mask * env_mask)
+    rng = np.random.default_rng(1)
+    h = 3e-3
+    checked = 0
+    for _ in range(6):
+        b = int(rng.integers(0, qs.shape[0]))
+        j = int(rng.integers(0, 7))
+        e = np.zeros(qs.shape, np.float32)
+        e[b, j] = h
+        em = np.zeros(mask.shape[:1] + (1,) * (mask.ndim - 1), np.float32)
+        em[b] = 1.0
+        em = jnp.asarray(np.broadcast_to(em, mask.shape))
+        fd = (float(loss_env(qs + e, em))
+              - float(loss_env(qs - e, em))) / (2 * h)
+        an = float(g_kernel[b, j])
+        if abs(fd) < 1e-3:
+            continue        # flat coordinate: FD noise dominates
+        assert abs(an - fd) < 0.08 * abs(fd) + 1e-3, (b, j, an, fd)
+        checked += 1
+    assert checked >= 3
 
 
 @pytest.mark.slow
