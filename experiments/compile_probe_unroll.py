@@ -34,18 +34,25 @@ def probe(tick_unroll, batch, ticks):
                                    with_aux=False, tick_unroll=tick_unroll)
     jfn = jax.jit(fn)
 
-    t0 = time.perf_counter()
-    lowered = jfn.lower(states, params)
-    t1 = time.perf_counter()
+    # trace / lower / compile split, with process CPU time alongside wall
+    # time: local Python/MLIR work burns CPU; waiting on the axon remote
+    # compile service does not
+    t0, c0 = time.perf_counter(), time.process_time()
+    traced = jfn.trace(states, params)
+    t1, c1 = time.perf_counter(), time.process_time()
+    lowered = traced.lower()
+    t2, c2 = time.perf_counter(), time.process_time()
     compiled = lowered.compile()
-    t2 = time.perf_counter()
+    t3, c3 = time.perf_counter(), time.process_time()
     out, _ = compiled(states, params)
     jax.block_until_ready(out.sim.q)
-    t3 = time.perf_counter()
+    t4 = time.perf_counter()
 
     res = dict(tick_unroll=tick_unroll, batch=batch, ticks=ticks,
-               lower_s=round(t1 - t0, 1), compile_s=round(t2 - t1, 1),
-               first_exec_s=round(t3 - t2, 2),
+               trace_s=round(t1 - t0, 1), trace_cpu_s=round(c1 - c0, 1),
+               lower_s=round(t2 - t1, 1), lower_cpu_s=round(c2 - c1, 1),
+               compile_s=round(t3 - t2, 1), compile_cpu_s=round(c3 - c2, 1),
+               first_exec_s=round(t4 - t3, 2),
                hlo_mb=round(len(lowered.as_text()) / 1e6, 1))
     print(json.dumps(res), flush=True)
     return res
