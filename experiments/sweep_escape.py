@@ -1,0 +1,126 @@
+"""One-compile sweep of the stuck-escape / yield / final-push knobs.
+
+franka/randomized_cluttered and dual_panda/randomized_clutter keep their
+behavioral-machinery knobs in EnvState.scratch["cfg"] as TRACED per-env
+scalars, so a whole grid of configs evaluates inside ONE compiled rollout:
+the batch is split into groups, each group's cfg leaves overridden after
+reset, and first-goal / overall success + final penetration reported per
+group. 512+ envs per group gives ~±2.2% binomial noise — rank here,
+certify the winner at 4096 envs via experiments/evaluate.py.
+
+Evaluation is PAIRED: every config sees the SAME batch of scenes (cfg
+leaves are overridden uniformly and the rollout re-dispatched — same
+compiled program, no retrace), so config deltas are measured against
+identical task draws instead of disjoint env groups (group-to-group scene
+noise measured ~±3% at 512 envs/group, swamping few-point effects).
+
+Usage: python experiments/sweep_escape.py [--env NAME]
+           [--batch 4096] [--ticks 300]
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# env -> {config name -> cfg OVERRIDES (unlisted keys keep env defaults)}
+CONFIGS = {
+    "franka/randomized_cluttered": {
+        # paired round 2: push LATCH + metric scaling (paired round 1
+        # found: transient push saturates at ~82 first-goal; detours cost
+        # 5-9 pts of overall; timeout value barely moves either metric)
+        "no_mechanisms": dict(esc_budget=0.0, push_boost=1.0,
+                              push_latch=0.0, push_metric=1.0),
+        "transient_push": dict(push_latch=0.0, push_metric=1.0),
+        "latch_m1": dict(push_metric=1.0),
+        "latch_m3": dict(),
+        "latch_m3_strong": dict(push_boost=4.5, push_near=0.12),
+        "latch_m5": dict(push_metric=5.0),
+        "latch_m3_noesc": dict(esc_budget=0.0),
+        "latch_m3_strong_noesc": dict(esc_budget=0.0, push_boost=4.5,
+                                      push_near=0.12),
+    },
+    "dual_panda/randomized_clutter": {
+        "no_mechanisms": dict(budget=0.0, push_boost=1.0),
+        "default": dict(),
+        "yield_eager": dict(yield_trigger=15.0, yield_radius=0.35),
+        "no_yield": dict(yield_trigger=1e6),
+        "push_strong": dict(push_boost=4.5, push_near=0.12),
+        "timeout60": dict(timeout=60.0),
+        "man_long": dict(man_ticks=45.0),
+        "hold_wide": dict(hold_tol=0.06),
+    },
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="franka/randomized_cluttered",
+                    choices=sorted(CONFIGS))
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--ticks", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from rmp_tpu import envs
+    from rmp_tpu.models import kinematics as K
+    from rmp_tpu.sim.collision import robot_obstacle_distances
+
+    env = envs.make(args.env)
+    configs = CONFIGS[args.env]
+    states0 = envs.make_batched_reset(env, args.batch)(
+        jax.random.PRNGKey(args.seed))
+
+    fused = args.batch % 128 == 0 and not args.cpu
+    rollout = jax.jit(envs.make_batched_rollout(env, args.ticks,
+                                                fused_resolve=fused))
+    params = env.gather_params()
+
+    @jax.jit
+    @jax.vmap
+    def min_clearance(sim):
+        T_all = K.fk_all(env.model, sim.q)
+        _, _, _, d = robot_obstacle_distances(env.model, T_all,
+                                              sim.obstacles)
+        return jnp.min(d)
+
+    report = {"env": args.env, "batch": args.batch, "ticks": args.ticks,
+              "paired": True, "groups": {}}
+    for name, overrides in configs.items():
+        cfg = dict(states0.scratch["cfg"])
+        for key, val in overrides.items():
+            cfg[key] = jnp.full_like(cfg[key], val)
+        states = dataclasses.replace(
+            states0, scratch=dict(states0.scratch, cfg=cfg))
+        t0 = time.perf_counter()
+        final, aux = rollout(states, params)
+        jax.block_until_ready(final.sim.q)
+        wall = time.perf_counter() - t0
+
+        sol = np.asarray(aux["solved"])
+        ev = np.asarray(aux["resample"])
+        has_ev = ev.any(axis=1)
+        first_ev = ev.argmax(axis=1)
+        first_goal = has_ev & sol[np.arange(len(sol)), first_ev]
+        pen = np.asarray(min_clearance(final.sim)) < -0.01
+        report["groups"][name] = dict(
+            first_goal=round(float(first_goal.mean()), 4),
+            overall=round(float(sol.any(axis=1).mean()), 4),
+            penetration=round(float(pen.mean()), 4),
+            wall_s=round(wall, 1))
+        print(f"{name}: {report['groups'][name]}", flush=True)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

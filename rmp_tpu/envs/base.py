@@ -53,11 +53,16 @@ class EnvState:
     # the r2 sweeps, i.e. resampling almost never rescued anyone).
     goal_best: Array | None = None     # f32, +inf after each event
     no_progress: Array | None = None   # i32 ticks without improvement
+    # env-PRIVATE per-env state (any pytree, None by default so envs that
+    # don't use it add zero carry leaves): escape timers/waypoints, per-arm
+    # progress counters, ... — maintained by the env's pre_tick hook and
+    # read by its (state-aware) bind_params/stuck_fn/on_solved.
+    scratch: object = None
 
     def tree_flatten(self):
         return ((self.sim, self.key, self.steps, self.solved_count,
                  self.phase, self.gjk_warm, self.goal_best,
-                 self.no_progress), None)
+                 self.no_progress, self.scratch), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -65,11 +70,11 @@ class EnvState:
         return cls(*children)
 
 
-def env_state(sim: SimState, key: Array) -> EnvState:
+def env_state(sim: SimState, key: Array, scratch=None) -> EnvState:
     zero = jnp.zeros((), jnp.int32)
     return EnvState(sim=sim, key=key, steps=zero, solved_count=zero,
                     phase=zero, goal_best=jnp.asarray(jnp.inf, jnp.float32),
-                    no_progress=zero)
+                    no_progress=zero, scratch=scratch)
 
 
 @dataclasses.dataclass
@@ -129,6 +134,15 @@ class Env:
     # randomized sweeps — reactive RMPs have local minima, and an env stuck
     # behind an obstacle would otherwise stay stuck forever)
     stuck_fn: Callable | None = None
+    # optional per-tick hook fn(env_state) -> env_state, applied at the
+    # START of every control tick (per env, before policy evaluation).
+    # Envs use it for in-graph behavioral machinery that acts BEFORE the
+    # stuck_fn goal timeout: escape-maneuver timers, dual-arm yielding,
+    # phase schedules. It must NOT touch sim.q/qd (the tick's FK/distance
+    # context would silently disagree in the fused batched path) and must
+    # NOT move sim.goal to a temporary target (the solved predicate reads
+    # sim.goal — bind the detour through a state-aware bind_params instead).
+    pre_tick: Callable[["EnvState"], "EnvState"] | None = None
     # EE-goal improvement (m) that counts as progress for the
     # EnvState.no_progress counter stuck_fn implementations consume
     progress_eps: float = 0.01
@@ -185,6 +199,29 @@ def bind_goal(policy_names: tuple[str, ...]):
     return bind
 
 
+def _call_bind(bind, params, sim, policies, state):
+    """Dispatch bind_params by arity: the classic 3-arg form
+    (params, sim, policies) or the state-aware 4-arg form
+    (params, sim, policies, env_state) — escape maneuvers and yielding
+    bind DETOUR goals from EnvState.scratch without touching sim.goal
+    (which the solved predicate reads). Arity is resolved once per
+    function object at trace time (Python-side, free in the jit)."""
+    import inspect
+    arity = _BIND_ARITY.get(id(bind))
+    if arity is None:
+        try:
+            arity = len(inspect.signature(bind).parameters)
+        except (TypeError, ValueError):
+            arity = 3
+        _BIND_ARITY[id(bind)] = arity
+    if arity >= 4:
+        return bind(params, sim, policies, state)
+    return bind(params, sim, policies)
+
+
+_BIND_ARITY: dict = {}
+
+
 def ee_position(env: Env, sim: SimState) -> Array:
     return K.fk_frame(env.model, sim.q, env.ee_frame)[:3, 3]
 
@@ -217,7 +254,7 @@ def _policy_inputs(env: Env, state: EnvState, params: tuple,
     sim = state.sim
     policies = env.policies
     if env.bind_params is not None:
-        params = env.bind_params(params, sim, policies)
+        params = _call_bind(env.bind_params, params, sim, policies, state)
     fk = None
     T_all = None
     if env.derivatives == "analytic":
@@ -326,6 +363,8 @@ def make_control_step(env: Env):
     policies = env.policies
 
     def step(state: EnvState, params: tuple):
+        if env.pre_tick is not None:
+            state = env.pre_tick(state)
         q, qd, params_b, ctxs, fk = _policy_inputs(env, state, params)
         qdd = evaluate_policies(policies, q, qd, params_b, ctxs,
                                 method=env.resolve_method,
@@ -390,6 +429,12 @@ def make_batched_control_step(env: Env):
         # 1-D task-space blocks form W = m * J in VMEM instead of HBM.
         # One fused transpose per block into batch-on-lanes layout
         # (batch-minor vmap out_axes producers measured 7% slower).
+        if env.pre_tick is not None:
+            # before the batched hull ctx: pre_tick never touches q
+            # (contract in the Env field docstring), so the precomputed
+            # distance context stays consistent either way — but scratch/
+            # goal updates must be visible to bind_params inside rows
+            states = jax.vmap(env.pre_tick)(states)
         frame_ctx = None
         warm_next = None
         if (env.collision_geometry == "hull" and env.context_fn is None

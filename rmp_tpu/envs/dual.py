@@ -194,7 +194,8 @@ _GOAL_BOX_L = ((0.15, -0.05, 0.30), (0.50, 0.30, 0.65))
 _GOAL_BOX_R = ((0.15, -0.30, 0.30), (0.50, 0.05, 0.65))
 
 
-def env_randomized_clutter(n_obstacles: int = 5) -> Env:
+def env_randomized_clutter(n_obstacles: int = 5,
+                           obstacle_capacity: int | None = None) -> Env:
     """Domain-randomized dual-arm clutter: the production-evaluation
     counterpart of dual_panda/handover — every env draws its own obstacle
     set in the shared workspace, per-arm goals rejection-sampled clear of
@@ -204,7 +205,33 @@ def env_randomized_clutter(n_obstacles: int = 5) -> Env:
     attractors, grouped obstacle avoidance over BOTH arms' collision
     frames, and inter-arm closest-point repulsion, in one compiled program.
     Beyond-reference capability (the reference is single-robot throughout,
-    SURVEY.md §2)."""
+    SURVEY.md §2).
+
+    COORDINATION MACHINERY (r4; the gain surface was swept FLAT twice —
+    the remaining failures are structural, ROADMAP r3): per-arm progress
+    counters in EnvState.scratch drive three in-graph mechanisms that all
+    act BEFORE the per-arm goal timeout, so first-goal credit is
+    preserved:
+
+      * YIELDING — when the arms contest a region (EE-EE distance <
+        YIELD_RADIUS and either arm stalled YIELD_TRIGGER ticks), the arm
+        FARTHER from its goal retreats to its side station while the other
+        proceeds with full authority. Turn-taking is the proven dual-arm
+        pattern here: head-on competition deadlocks in mutual repulsion,
+        serialized passes don't (the handover scenario encodes exactly
+        this, see HANDOVER_PHASES above). The near arm parks on its goal
+        (an arm within hold-tolerance is never counted stalled), the
+        yielder returns and finishes against a parked — not fighting —
+        partner.
+      * SOLO ESCAPE — an arm stalled ESC_TRIGGER ticks with no contest is
+        stuck on obstacles: detour to its side station + random jitter for
+        ESC_TICKS, re-approaching from a new angle each attempt
+        (franka/randomized_cluttered escape pattern).
+      * PER-ARM GOAL REASSIGNMENT — the stuck_fn timeout fires per arm
+        (scratch counters, 80 ticks), and on_solved resamples ONLY the
+        stuck arm's goal; a genuine joint solve resamples both. The old
+        joint resample threw away the healthy arm's goal (and its
+        progress) every time the other arm timed out."""
     from rmp_tpu.envs.franka import _obstacle_policies
     from rmp_tpu.sim import randomizer as rnd
     from rmp_tpu.sim.data import distance_context
@@ -249,15 +276,109 @@ def env_randomized_clutter(n_obstacles: int = 5) -> Env:
     iL = model.frame_index(EE_L)
     iR = model.frame_index(EE_R)
 
-    def bind_params(params, sim, pols):
+    # Knobs live in EnvState.scratch["cfg"] as TRACED per-env scalars so
+    # sweeps override them after reset without recompiling (same
+    # one-compile pattern as franka/randomized_cluttered's escape cfg).
+    CFG = dict(
+        yield_radius=0.30,  # m, EE-EE distance that counts as contested
+        yield_trigger=25.0,  # stalled ticks before the far arm yields
+        esc_trigger=40.0,   # stalled ticks before a solo obstacle detour
+        man_ticks=30.0,     # yield/detour duration
+        timeout=80.0,       # stalled ticks before the arm's goal resamples
+        budget=3.0,         # maneuvers per arm per goal; then timeout rules
+        hold_tol=0.045,     # arms parked within this of goal never stall
+        push_trigger=20.0,  # final-push boost (franka pattern): stalled
+        push_near=0.08,     # close to the goal -> scale the arm's
+        push_boost=3.0,     # attractor gains to shift the equilibrium in
+    )
+    # retreat stations: each arm's OWN side of the shared workspace, past
+    # the obstacle box (|y| > 0.28) so a retreat also leaves the clutter
+    _STATION = np.asarray([[0.30, 0.35, 0.55],
+                           [0.30, -0.35, 0.55]], np.float32)
+
+    def init_scratch():
+        z2 = jnp.zeros(2, jnp.int32)
+        return dict(man_ticks=z2, man_count=z2,
+                    wp=jnp.zeros((2, 3), jnp.float32),
+                    noprog=z2, best=jnp.full(2, jnp.inf, jnp.float32),
+                    cfg={k: jnp.asarray(v, jnp.float32)
+                         for k, v in CFG.items()})
+
+    def bind_params(params, sim, pols, state):
+        sc = state.scratch
+        cfg = sc["cfg"]
+        maneuvering = sc["man_ticks"] > 0                        # (2,)
+        eff = jnp.where(maneuvering[:, None], sc["wp"], sim.goal)
+        # per-arm final-push boost (franka/randomized_cluttered pattern:
+        # near-miss stalls are force equilibria just outside tolerance)
+        push = (~maneuvering & (sc["noprog"] >= cfg["push_trigger"])
+                & (sc["best"] < cfg["push_near"]))
+        boost = jnp.where(push, cfg["push_boost"], 1.0)          # (2,)
         out = []
         for p, prm in zip(pols, params):
             if p.name == "attractor_L":
-                prm = dict(prm, goal=sim.goal[0])
+                prm = dict(prm, goal=eff[0],
+                           accel_p_gain=prm["accel_p_gain"] * boost[0],
+                           accel_d_gain=prm["accel_d_gain"]
+                           * jnp.sqrt(boost[0]))
             elif p.name == "attractor_R":
-                prm = dict(prm, goal=sim.goal[1])
+                prm = dict(prm, goal=eff[1],
+                           accel_p_gain=prm["accel_p_gain"] * boost[1],
+                           accel_d_gain=prm["accel_d_gain"]
+                           * jnp.sqrt(boost[1]))
             out.append(prm)
         return tuple(out)
+
+    def pre_tick(state: EnvState) -> EnvState:
+        sc = state.scratch
+        cfg = sc["cfg"]
+        T_all = K.fk_all(model, state.sim.q)
+        ee = jnp.stack([T_all[iL][:3, 3], T_all[iR][:3, 3]])     # (2, 3)
+        d = jnp.linalg.norm(ee - state.sim.goal, axis=-1)        # (2,)
+
+        # per-arm progress bookkeeping (same semantics as _advance's
+        # global window, but an arm HOLDING its goal never stalls)
+        improved = d < sc["best"] - 0.01
+        best = jnp.minimum(sc["best"], d)
+        noprog = jnp.where((d < cfg["hold_tol"]) | improved, 0,
+                           sc["noprog"] + 1)
+
+        free = (sc["man_ticks"] == 0) & (sc["man_count"] < cfg["budget"])
+        contested = (jnp.linalg.norm(ee[0] - ee[1])
+                     < cfg["yield_radius"])
+        stalled_y = noprog >= cfg["yield_trigger"]
+        # the FARTHER arm yields; ties (exactly equal d) break to L
+        farther = jnp.where(d[0] >= d[1], jnp.asarray([True, False]),
+                            jnp.asarray([False, True]))
+        yield_t = contested & jnp.any(stalled_y) & farther & free
+        solo_t = (~contested) & (noprog >= cfg["esc_trigger"]) & free
+        trigger = yield_t | solo_t                                # (2,)
+
+        k, sub = jax.random.split(state.key)
+        jit_off = jax.random.uniform(sub, (2, 3), minval=-0.12, maxval=0.12)
+        wp_new = jnp.asarray(_STATION) + jit_off
+        any_t = jnp.any(trigger)
+
+        ticks_next = jnp.where(trigger, cfg["man_ticks"].astype(jnp.int32),
+                               jnp.maximum(sc["man_ticks"] - 1, 0))
+        scratch = dict(
+            sc,
+            man_ticks=ticks_next,
+            man_count=sc["man_count"] + trigger.astype(jnp.int32),
+            wp=jnp.where(trigger[:, None], wp_new, sc["wp"]),
+            # freeze the stalled-arm window during its maneuver (the
+            # outbound leg can't improve the true-goal distance; letting
+            # it count would spend the retry budget on transit)
+            noprog=jnp.where(trigger | (ticks_next > 0), 0, noprog),
+            best=jnp.where(trigger, jnp.inf, best))
+        return dataclasses.replace(
+            state, scratch=scratch,
+            key=jnp.where(any_t, k, state.key),
+            # keep the GLOBAL window (the backstop timeout below) from
+            # firing mid-maneuver
+            no_progress=jnp.where(any_t | jnp.any(ticks_next > 0), 0,
+                                  state.no_progress),
+            goal_best=jnp.where(any_t, jnp.inf, state.goal_best))
 
     def arm_distances(sim):
         eL = K.fk_frame(model, sim.q, iL)[:3, 3]
@@ -274,20 +395,74 @@ def env_randomized_clutter(n_obstacles: int = 5) -> Env:
         # predicate above; summing would mask one arm regressing)
         return jnp.maximum(*arm_distances(sim))
 
-    def sample_goals(key, obstacles):
+    def _with_goal_blocked(obstacles, goal, r=0.12):
+        """Obstacle set extended with a phantom sphere at `goal`: per-arm
+        goals rejection-sample clear of the OTHER arm's goal — two arms
+        can't occupy the same grasp region, and goals within each other's
+        hold tolerance forced permanent contests before r4."""
+        from rmp_tpu.sim.collision import ObstacleSet
+        return ObstacleSet(
+            p0=jnp.concatenate([obstacles.p0, goal[None]]),
+            p1=jnp.concatenate([obstacles.p1, goal[None]]),
+            radius=jnp.concatenate([obstacles.radius,
+                                    jnp.full(1, r, jnp.float32)]),
+            kinds=((obstacles.kinds or ("capsule",) * obstacles.count)
+                   + ("capsule",)))
+
+    def sample_goals(key, obstacles, prev=None, resample=None):
+        """Fresh goals for the arms with `resample[a]` True, keeping the
+        others; each new goal clears the obstacles AND the other arm's
+        (kept or freshly drawn) goal."""
         kL, kR = jax.random.split(key)
-        return jnp.stack([
-            rnd.randomize_goal_box(kL, *_GOAL_BOX_L, obstacles=obstacles),
-            rnd.randomize_goal_box(kR, *_GOAL_BOX_R, obstacles=obstacles)])
+        if prev is None:
+            gL = rnd.randomize_goal_box(kL, *_GOAL_BOX_L,
+                                        obstacles=obstacles)
+            gR = rnd.randomize_goal_box(
+                kR, *_GOAL_BOX_R, obstacles=_with_goal_blocked(obstacles,
+                                                               gL))
+            return jnp.stack([gL, gR])
+        gL = jnp.where(
+            resample[0],
+            rnd.randomize_goal_box(kL, *_GOAL_BOX_L,
+                                   obstacles=_with_goal_blocked(obstacles,
+                                                                prev[1])),
+            prev[0])
+        gR = jnp.where(
+            resample[1],
+            rnd.randomize_goal_box(kR, *_GOAL_BOX_R,
+                                   obstacles=_with_goal_blocked(obstacles,
+                                                                gL)),
+            prev[1])
+        return jnp.stack([gL, gR])
 
     def on_solved(state: EnvState) -> EnvState:
+        # fired by a joint solve OR a per-arm timeout (stuck_fn): resample
+        # ONLY timed-out arms' goals; a genuine solve resamples both. The
+        # pre-r4 joint resample threw away the healthy arm's goal (and all
+        # its progress) whenever the OTHER arm timed out.
+        sc = state.scratch
+        timed_out = sc["noprog"] >= sc["cfg"]["timeout"]     # (2,)
+        both = ~jnp.any(timed_out)                   # solved / backstop
+        resample = timed_out | both
         k, sub = jax.random.split(state.key)
-        sim = dataclasses.replace(
-            state.sim, goal=sample_goals(sub, state.sim.obstacles))
-        return dataclasses.replace(state, sim=sim, key=k, phase=state.steps)
+        goals = sample_goals(sub, state.sim.obstacles,
+                             prev=state.sim.goal, resample=resample)
+        sim = dataclasses.replace(state.sim, goal=goals)
+        scratch = dict(
+            sc,
+            man_ticks=jnp.where(resample, 0, sc["man_ticks"]),
+            man_count=jnp.where(resample, 0, sc["man_count"]),
+            noprog=jnp.where(resample, 0, sc["noprog"]),
+            best=jnp.where(resample, jnp.inf, sc["best"]))
+        return dataclasses.replace(state, sim=sim, key=k,
+                                   phase=state.steps, scratch=scratch)
 
     def stuck_fn(state: EnvState):
-        return state.no_progress >= 80
+        sc = state.scratch
+        # per-arm timeouts + a global backstop (e.g. an arm hovering just
+        # outside hold_tol forever is invisible to the per-arm windows)
+        return (jnp.any(sc["noprog"] >= sc["cfg"]["timeout"])
+                | (state.no_progress >= 120))
 
     space = rnd.RobotSampleSpace(
         q_low=q_ready - 0.1, q_high=q_ready + 0.1,
@@ -307,15 +482,18 @@ def env_randomized_clutter(n_obstacles: int = 5) -> Env:
                                                 *_OBS_BOX,
                                                 avoid=(p0, p1, r),
                                                 avoid_clearance=0.05)
+        if obstacle_capacity is not None:
+            from rmp_tpu.sim.collision import pad_obstacles
+            obstacles = pad_obstacles(obstacles, obstacle_capacity)
         sim = init_state(model, q=q, qd=qd, obstacles=obstacles,
                          goal=sample_goals(k_goal, obstacles))
-        return env_state(sim, k_carry)
+        return env_state(sim, k_carry, scratch=init_scratch())
 
     env = Env(name="dual_panda/randomized_clutter", model=model,
               policies=policies, reset=reset, ee_frame=iL, solved_tol=0.03,
               bind_params=bind_params, is_solved_fn=is_solved_fn,
               goal_distance_fn=goal_distance_fn, context_fn=context_fn,
-              on_solved=on_solved, stuck_fn=stuck_fn,
+              on_solved=on_solved, stuck_fn=stuck_fn, pre_tick=pre_tick,
               enforce_velocity_limits=True, max_qdd=100.0,
               resolve_method="solve")
     return env

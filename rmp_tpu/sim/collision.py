@@ -83,6 +83,46 @@ class ObstacleSet:
             kinds=kinds)
 
 
+def pad_obstacles(obstacles: ObstacleSet, capacity: int,
+                  far: float = 50.0) -> ObstacleSet:
+    """Pad an obstacle set to a fixed CAPACITY with inert far-away
+    obstacles, so scenes with different obstacle counts share one compiled
+    program — the reference Datamanager's no-retrace property
+    (/root/reference/data_management.py:8-17, shape-[None] tf.Variables)
+    re-created the static-shape way: K is always `capacity`, and the pad
+    rows sit ~`far` meters out where every obstacle policy's metric is
+    EXACTLY zero (metric_modulation_radius 0.5 m, policies/v2.py), the
+    capsule/GJK queries stay well-conditioned (a real short segment, not a
+    degenerate point), and the broad phase never selects them while any
+    real obstacle is nearer.
+
+    Padding uses the set's own kind when uniform ('capsule' otherwise):
+    `kinds` is STATIC pytree aux, so two padded sets only hit the same jit
+    cache entry when their full kind tuples match — uniform sets (the
+    randomizers') always do. Works on unbatched (K, ...) leaves; apply
+    inside per-env reset (vmap broadcasts it)."""
+    K = obstacles.count
+    if capacity < K:
+        raise ValueError(f"capacity {capacity} < obstacle count {K}")
+    if capacity == K:
+        return obstacles
+    pad = capacity - K
+    p0_pad = jnp.broadcast_to(jnp.asarray([far, far, far], jnp.float32),
+                              (pad, 3))
+    p1_pad = jnp.broadcast_to(
+        jnp.asarray([far, far, far + 0.1], jnp.float32), (pad, 3))
+    kinds = obstacles.kinds
+    if kinds is not None:
+        pad_kind = kinds[0] if len(set(kinds)) == 1 else "capsule"
+        kinds = kinds + (pad_kind,) * pad
+    return ObstacleSet(
+        p0=jnp.concatenate([obstacles.p0, p0_pad], axis=-2),
+        p1=jnp.concatenate([obstacles.p1, p1_pad], axis=-2),
+        radius=jnp.concatenate(
+            [obstacles.radius, jnp.full(pad, 0.01, jnp.float32)], axis=-1),
+        kinds=kinds)
+
+
 def sphere_obstacle(center, radius) -> ObstacleSet:
     c = jnp.asarray(center, jnp.float32)[None]
     return ObstacleSet(c, c, jnp.asarray([radius], jnp.float32))

@@ -530,3 +530,42 @@ def test_every_registered_scenario_rolls_finite():
             states, env.gather_params())
         q = np.asarray(final.sim.q)
         assert q.shape[0] == 2 and np.all(np.isfinite(q)), name
+
+
+def test_obstacle_capacity_bucketing_no_retrace():
+    """VERDICT r4 #8: scenes with different obstacle COUNTS inside one
+    capacity bucket reuse the same compiled program (the reference
+    Datamanager's no-retrace property, data_management.py:8-17) — and the
+    inert far-away padding (sim/collision.pad_obstacles) changes nothing
+    numerically: every obstacle policy's metric is exactly zero beyond
+    its modulation radius."""
+    from rmp_tpu.envs import franka
+    from rmp_tpu.sim import collision as C
+    from rmp_tpu.sim import randomizer as rnd
+
+    env = franka.env_randomized_cluttered(5, obstacle_capacity=8)
+    params = env.gather_params()
+    step = jax.jit(make_control_step(env))
+    s5 = env.reset(jax.random.PRNGKey(0))
+    assert s5.sim.obstacles.count == 8
+    out5, aux5 = step(s5, params)
+    assert step._cache_size() == 1
+
+    # a 6-obstacle scene padded into the SAME capacity: same shapes and
+    # (static) kinds aux -> the jit cache entry is reused, no retrace
+    obs6 = C.pad_obstacles(
+        rnd.randomize_obstacles(jax.random.PRNGKey(7), 6), 8)
+    s6 = dataclasses.replace(
+        s5, sim=dataclasses.replace(s5.sim, obstacles=obs6))
+    out6, _ = step(s6, params)
+    assert step._cache_size() == 1, "padded 6-obstacle scene retraced"
+    assert np.isfinite(np.asarray(out6.sim.q)).all()
+
+    # numeric equivalence: the same 5-obstacle scene unpadded (its own
+    # program) commands the same qdd as the padded one
+    env_u = franka.env_randomized_cluttered(5)
+    s5u = env_u.reset(jax.random.PRNGKey(0))
+    assert s5u.sim.obstacles.count == 5
+    _, aux_u = jax.jit(make_control_step(env_u))(s5u, env_u.gather_params())
+    np.testing.assert_allclose(np.asarray(aux5["qdd"]),
+                               np.asarray(aux_u["qdd"]), atol=1e-6)
