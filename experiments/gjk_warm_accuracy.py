@@ -74,16 +74,36 @@ def run_one(env_name: str, iters: int, batch: int, ticks: int,
             key = f"{lo:g}-{hi:g}"
             stats[f"max@{key}"] = jnp.max(sd)
             stats[f"mean@{key}"] = jnp.sum(sd) / n
+            stats[f"p99@{key}"] = jnp.nanpercentile(
+                jnp.where(sel, diff, jnp.nan), 99)
             stats[f"frac@{key}"] = jnp.mean(sel.astype(jnp.float32))
-        new_state, _ = step(state, params)
-        return new_state, stats
+        new_state, aux = step(state, params)
+        return new_state, stats, aux["qdd"]
 
     probe = jax.jit(probe)
+    # POLICY-IMPACT probe: the same control step traced with the COLD
+    # iteration count (distance_context_batched reads RMP_GJK_ITERS at
+    # trace time) — |qdd_warm - qdd_cold| on IDENTICAL states is the
+    # policy-output error the distance error actually induces, the
+    # quantity the banded distance tails only proxy.
+    _, _, _ = probe(states)                  # trace probe with `iters`
+    os.environ["RMP_GJK_ITERS"] = "10"
+    step_cold_qdd = jax.jit(
+        lambda s: eb.make_batched_control_step(env)(s, params)[1]["qdd"])
+    _ = step_cold_qdd(states)                # trace with 10
+    os.environ["RMP_GJK_ITERS"] = str(iters)
+
     per_tick = []
+    qdd_err_max = qdd_err_p99 = qdd_rms = 0.0
     s = states
     for _ in range(ticks):
-        s, st = probe(s)
+        qdd_c = step_cold_qdd(s)
+        s, st, qdd_w = probe(s)
         per_tick.append({k: float(v) for k, v in st.items()})
+        e = np.abs(np.asarray(qdd_w) - np.asarray(qdd_c))
+        qdd_err_max = max(qdd_err_max, float(e.max()))
+        qdd_err_p99 = max(qdd_err_p99, float(np.percentile(e, 99)))
+        qdd_rms += float(np.sqrt(np.mean(np.asarray(qdd_c) ** 2))) / ticks
 
     report = {"env": env_name, "iters_warm": iters, "batch": batch,
               "ticks": ticks}
@@ -91,10 +111,15 @@ def run_one(env_name: str, iters: int, batch: int, ticks: int,
         key = f"{lo:g}-{hi:g}"
         report[f"abs_err_max_m@{key}"] = float(np.max(
             [t[f"max@{key}"] for t in per_tick]))
+        report[f"abs_err_p99_m@{key}"] = float(np.max(
+            [t[f"p99@{key}"] for t in per_tick]))
         report[f"abs_err_mean_m@{key}"] = float(np.mean(
             [t[f"mean@{key}"] for t in per_tick]))
         report[f"pair_frac@{key}"] = float(np.mean(
             [t[f"frac@{key}"] for t in per_tick]))
+    report["qdd_abs_err_max"] = qdd_err_max
+    report["qdd_abs_err_p99_worst_tick"] = qdd_err_p99
+    report["qdd_rms_cold"] = qdd_rms
     return report
 
 

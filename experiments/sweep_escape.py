@@ -33,26 +33,35 @@ import numpy as np
 # env -> {config name -> cfg OVERRIDES (unlisted keys keep env defaults)}
 CONFIGS = {
     "franka/randomized_cluttered": {
-        # paired round 2: push LATCH + metric scaling (paired round 1
-        # found: transient push saturates at ~82 first-goal; detours cost
-        # 5-9 pts of overall; timeout value barely moves either metric)
-        "no_mechanisms": dict(esc_budget=0.0, push_boost=1.0,
-                              push_latch=0.0, push_metric=1.0),
-        "transient_push": dict(push_latch=0.0, push_metric=1.0),
-        "latch_m1": dict(push_metric=1.0),
-        "latch_m3": dict(),
-        "latch_m3_strong": dict(push_boost=4.5, push_near=0.12),
-        "latch_m5": dict(push_metric=5.0),
-        "latch_m3_noesc": dict(esc_budget=0.0),
-        "latch_m3_strong_noesc": dict(esc_budget=0.0, push_boost=4.5,
-                                      push_near=0.12),
+        # paired round 5: SCORED candidate waypoints + end-on-arrival
+        # (round 4 found a near-constant first+overall frontier ~171 —
+        # time reallocation, not creation; these two aim at detour
+        # QUALITY/efficiency. Round-4 numbers: relax4 nogate 82.6/88.8,
+        # gate15 80.9/90.2, gate+spent30 79.2/91.0)
+        # round 6 (round 5: scored waypoints + end-on-arrival BROKE the
+        # constant-sum frontier — cand_arrive 83.5/90.0, budget3 84.8
+        # first; now push first-goal to 85 while holding overall >= 90)
+        "cand_arrive": dict(push_relax=4.0, esc_gate=999.0),
+        "b3_gate25": dict(push_relax=4.0, esc_gate=0.25, esc_budget=3.0),
+        "b3_gate25_spent45": dict(push_relax=4.0, esc_gate=0.25,
+                                  esc_budget=3.0, timeout_spent=45.0),
+        "b4_gate25": dict(push_relax=4.0, esc_gate=0.25, esc_budget=4.0),
+        "b3_gate25_relax1": dict(push_relax=1.0, esc_gate=0.25,
+                                 esc_budget=3.0),
+        "b3_gate25_boost45": dict(push_relax=4.0, esc_gate=0.25,
+                                  esc_budget=3.0, push_boost=4.5,
+                                  push_near=0.12),
+        "b3_gate25_trig28": dict(push_relax=4.0, esc_gate=0.25,
+                                 esc_budget=3.0, esc_trigger=28.0),
+        "b3_gate25_side45": dict(push_relax=4.0, esc_gate=0.25,
+                                 esc_budget=3.0, esc_side=0.45),
     },
     "dual_panda/randomized_clutter": {
         "no_mechanisms": dict(budget=0.0, push_boost=1.0),
         "default": dict(),
         "yield_eager": dict(yield_trigger=15.0, yield_radius=0.35),
         "no_yield": dict(yield_trigger=1e6),
-        "push_strong": dict(push_boost=4.5, push_near=0.12),
+        "relax4": dict(push_relax=4.0),
         "timeout60": dict(timeout=60.0),
         "man_long": dict(man_ticks=45.0),
         "hold_wide": dict(hold_tol=0.06),
@@ -71,6 +80,13 @@ def main():
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: cfg knobs are traced, so successive sweep
+    # ROUNDS in fresh processes reuse one compiled rollout (~70 s load vs
+    # 10-15 min remote compile) as long as the env code didn't change
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   os.pardir, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     from rmp_tpu import envs
     from rmp_tpu.models import kinematics as K

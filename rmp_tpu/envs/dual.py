@@ -286,10 +286,19 @@ def env_randomized_clutter(n_obstacles: int = 5,
         man_ticks=30.0,     # yield/detour duration
         timeout=80.0,       # stalled ticks before the arm's goal resamples
         budget=3.0,         # maneuvers per arm per goal; then timeout rules
-        hold_tol=0.045,     # arms parked within this of goal never stall
+        hold_tol=0.035,     # arms parked within this of goal never stall.
+        #                     Must sit just ABOVE solved_tol (0.03): wider
+        #                     values let an arm park at 3.5-4.5 cm where it
+        #                     neither satisfies the joint solve nor ever
+        #                     registers as stalled (no push, no timeout —
+        #                     only the 120-tick global backstop would act)
         push_trigger=20.0,  # final-push boost (franka pattern): stalled
         push_near=0.08,     # close to the goal -> scale the arm's
         push_boost=3.0,     # attractor gains to shift the equilibrium in
+        push_relax=1.0,     # divide the grouped obstacle policy's
+        #                     repulsion_gain/metric_scalar by this while
+        #                     EITHER arm pushes (the policy spans both
+        #                     arms, so relax is necessarily global)
     )
     # retreat stations: each arm's OWN side of the shared workspace, past
     # the obstacle box (|y| > 0.28) so a retreat also leaves the clutter
@@ -314,9 +323,14 @@ def env_randomized_clutter(n_obstacles: int = 5,
         push = (~maneuvering & (sc["noprog"] >= cfg["push_trigger"])
                 & (sc["best"] < cfg["push_near"]))
         boost = jnp.where(push, cfg["push_boost"], 1.0)          # (2,)
+        relax = jnp.where(jnp.any(push), cfg["push_relax"], 1.0)
         out = []
         for p, prm in zip(pols, params):
-            if p.name == "attractor_L":
+            if p.name == "collision_avoidance":
+                prm = dict(prm,
+                           repulsion_gain=prm["repulsion_gain"] / relax,
+                           metric_scalar=prm["metric_scalar"] / relax)
+            elif p.name == "attractor_L":
                 prm = dict(prm, goal=eff[0],
                            accel_p_gain=prm["accel_p_gain"] * boost[0],
                            accel_d_gain=prm["accel_d_gain"]

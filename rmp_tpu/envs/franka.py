@@ -379,6 +379,18 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         esc_side=0.30,     # m, sideways component (new approach side)
         esc_axis1=1.0,     # detour 1 slides along the blocking cylinder's
         #                    axis (0.0: random tangent like detour 2)
+        esc_cand=1.0,      # 1: pick the detour waypoint by SCORING four
+        #                    candidates (+-obstacle axis, +-random tangent)
+        #                    on clearance-at-waypoint minus goal detour;
+        #                    0: the guessed direction (axis toward goal)
+        esc_arrive=1.0,    # 1: end a detour as soon as the EE reaches the
+        #                    waypoint (within 6 cm) instead of parking out
+        #                    the timer
+        esc_gate=999.0,    # m: detour only when the env has already been
+        #                    this close. Paired-swept: every gate value
+        #                    (0.15/0.20/0.25) traded ~1.5 first-goal pts
+        #                    for ~+1 overall — far-blocked detours rescue
+        #                    more than expected. Disabled by default.
         timeout=80.0,      # no-progress ticks before the goal resamples
         timeout_spent=50.0,  # faster resample once the budget is spent (a
         #                      goal that survived two detours is hopeless —
@@ -396,13 +408,21 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         push_trigger=20.0,
         push_near=0.08,    # m, closest-approach gate
         push_boost=3.0,    # attractor p-gain scale (d-gain scales by sqrt)
-        push_latch=1.0,    # 1: once engaged, the push STAYS on until a
-        #                    detour/goal event (the transient variant
-        #                    disengages on every 1 cm of progress and
-        #                    spends most of the endgame re-arming)
-        push_metric=3.0,   # attractor metric-scalar scale during the push
-        #                    (wins the metric-weighted blend against the
-        #                    obstacle policies, not just the accel race)
+        push_latch=0.0,    # 1: once engaged, the push STAYS on until a
+        #                    detour/goal event. Paired-measured NO GAIN
+        #                    over the transient variant (81.1 vs 81.6
+        #                    first-goal), kept as a knob.
+        push_metric=1.0,   # attractor metric-scalar scale during the push.
+        #                    Paired-measured no gain (x3: 81.1, x5: 81.2
+        #                    vs x1: 81.6); kept as a knob.
+        push_relax=4.0,    # divide the OBSTACLE policies' repulsion_gain
+        #                    and metric_scalar by this during the push:
+        #                    the near-goal stall is an equilibrium against
+        #                    the obstacle metric's 1/d^2 exploder, which
+        #                    no attractor boost can outweigh — but the
+        #                    goal region is sampled >=5 cm clear, so
+        #                    trusting it briefly is safe (penetration
+        #                    tracked by the sweep).
     )
     _WS_LO = np.asarray([-0.85, -0.85, 0.15], np.float32)
     _WS_HI = np.asarray([0.85, 0.85, 0.95], np.float32)
@@ -430,6 +450,7 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         trigger = ((state.no_progress >= cfg["esc_trigger"])
                    & (sc["esc_ticks"] == 0)
                    & (sc["esc_count"] < cfg["esc_budget"])
+                   & (state.goal_best < cfg["esc_gate"])
                    & (state.phase == 0))
         k, sub = jax.random.split(state.key)
         ee = K.fk_frame(model, state.sim.q, ee_idx)[:3, 3]
@@ -439,30 +460,74 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         tang = v - jnp.dot(v, away) * away
         tang = tang / (jnp.linalg.norm(tang) + 1e-9)
 
-        # detour 1: along the axis of the obstacle NEAREST the EE (signed
-        # toward the goal side; random sign when the axis is ~transverse)
+        # candidate directions: +-the blocking cylinder's axis (the
+        # shortest way around a cylinder) and +-a random tangent
         obs = state.sim.obstacles
         seg = obs.p1 - obs.p0                                  # (K, 3)
+        seg_len2 = jnp.einsum("kc,kc->k", seg, seg)
+
+        def point_clearance(p):
+            t_seg = jnp.clip(
+                jnp.einsum("kc,kc->k", p[None] - obs.p0, seg)
+                / (seg_len2 + 1e-12), 0.0, 1.0)
+            foot = obs.p0 + t_seg[:, None] * seg
+            d = jnp.linalg.norm(p[None] - foot, axis=-1) - obs.radius
+            out = d[0]
+            for k in range(1, d.shape[0]):      # where-chain min
+                out = jnp.minimum(out, d[k])
+            return out
+
         t_seg = jnp.clip(
             jnp.einsum("kc,kc->k", ee[None] - obs.p0, seg)
-            / (jnp.einsum("kc,kc->k", seg, seg) + 1e-12), 0.0, 1.0)
+            / (seg_len2 + 1e-12), 0.0, 1.0)
         closest = obs.p0 + t_seg[:, None] * seg
         d_obs = jnp.linalg.norm(ee[None] - closest, axis=-1) - obs.radius
         dmin = jnp.min(d_obs)
         hot = d_obs <= dmin                                     # (K,)
         axis = jnp.einsum("k,kc->c", hot.astype(jnp.float32), seg)
         axis = axis / (jnp.linalg.norm(axis) + 1e-9)
+
+        # SCORED candidate waypoints (cfg esc_cand=1) instead of guessed
+        # direction: 4 candidates, each scored by clearance at the
+        # waypoint (capped — beyond 12 cm more clearance stops mattering)
+        # minus how much farther from the goal it moves. A detour INTO
+        # another obstacle or straight away from the goal never scored.
+        cands = []
+        for s_dir in (axis, -axis, tang, -tang):
+            cands.append(jnp.clip(
+                ee + cfg["esc_back"] * away + cfg["esc_side"] * s_dir,
+                jnp.asarray(_WS_LO), jnp.asarray(_WS_HI)))
+        best_wp = cands[0]
+        best_score = -jnp.inf
+        for c in cands:
+            score = (jnp.minimum(point_clearance(c), 0.12)
+                     - 0.35 * jnp.linalg.norm(c - state.sim.goal))
+            take = score > best_score
+            best_wp = jnp.where(take, c, best_wp)
+            best_score = jnp.maximum(best_score, score)
+
+        # legacy guessed direction (esc_cand=0): axis slide signed toward
+        # the goal on detour 1, random tangent on retries
         adot = jnp.dot(axis, to_goal)
         sign = jnp.where(jnp.abs(adot) < 0.05,
                          jnp.sign(v[0]) + (v[0] == 0), jnp.sign(adot))
         slide = sign * axis
-
         side = jnp.where((sc["esc_count"] == 0) & (cfg["esc_axis1"] > 0.5),
                          slide, tang)
-        wp = jnp.clip(ee + cfg["esc_back"] * away + cfg["esc_side"] * side,
-                      jnp.asarray(_WS_LO), jnp.asarray(_WS_HI))
+        wp_legacy = jnp.clip(
+            ee + cfg["esc_back"] * away + cfg["esc_side"] * side,
+            jnp.asarray(_WS_LO), jnp.asarray(_WS_HI))
+        wp = jnp.where(cfg["esc_cand"] > 0.5, best_wp, wp_legacy)
+
+        # early arrival: a detour that reached its waypoint has done its
+        # job — resume the goal chase instead of parking out the timer
+        arrived = ((sc["esc_ticks"] > 0)
+                   & (jnp.linalg.norm(ee - sc["esc_wp"]) < 0.06)
+                   & (cfg["esc_arrive"] > 0.5))
+        ticks_dec = jnp.where(arrived, 0,
+                              jnp.maximum(sc["esc_ticks"] - 1, 0))
         ticks_next = jnp.where(trigger, cfg["esc_ticks"].astype(jnp.int32),
-                               jnp.maximum(sc["esc_ticks"] - 1, 0))
+                               ticks_dec)
         # push latch: engage on a near-goal stall; release on a detour
         # (the waypoint chase must run at normal gains) or after wandering
         # far from the goal (post-detour re-approach starts clean)
@@ -500,6 +565,7 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         push = ~escaping & sc["push_on"]
         boost = jnp.where(push, cfg["push_boost"], 1.0)
         mscale = jnp.where(push, cfg["push_metric"], 1.0)
+        relax = jnp.where(push, cfg["push_relax"], 1.0)
         out = []
         for p, prm in zip(pols, params):
             if p.name == "attractor":
@@ -511,6 +577,10 @@ def env_randomized_cluttered(n_obstacles: int = 7,
                            * mscale,
                            min_metric_scalar=prm["min_metric_scalar"]
                            * mscale)
+            elif p.name == "collision_avoidance":
+                prm = dict(prm,
+                           repulsion_gain=prm["repulsion_gain"] / relax,
+                           metric_scalar=prm["metric_scalar"] / relax)
             out.append(prm)
         return tuple(out)
     # gains retuned for the randomized workload via the one-compile grid

@@ -8,9 +8,16 @@ p.getClosestPoints) with two interchangeable link geometries:
     closed forms — ~1 cm distance-error band vs the meshes, fastest.
   * HULL (robot_obstacle_distances_hull): links are decimated convex hulls
     of the actual reference meshes, solved by batched simplex GJK
-    (ops/gjk.py) — sub-mm agreement with PyBullet's (convexified-mesh)
-    distances (reports/collision_mesh_error_hull.json); ~6x the end-to-end
-    rollout cost of the capsule mode, still above 1M steps/s/chip.
+    (ops/gjk.py). Accuracy, BANDED (claims like "sub-mm" hold at the
+    mean/p99, not the max — reports/collision_mesh_error_hull.json):
+    the GJK solver itself vs an exact hull oracle is mean 10 um / p99
+    0.12 mm / max 1.1 mm; hull-vs-true-mesh obstacle-distance error is
+    mean 0.1 mm / overestimate p99 0.8 mm / max 1.3 cm over, 6.3 cm
+    under (decimation fidelity); the TPU rollout path's temporal warm
+    start adds its own banded error, certified at the rollout level in
+    reports/gjk_warm_accuracy.json (see distance_context_batched).
+    ~6x the end-to-end rollout cost of the capsule mode, still well
+    above 1M steps/s/chip.
 
 Every query returns the same tuple PyBullet does: (point on link surface,
 point on obstacle surface, normal on obstacle pointing toward the link,
