@@ -38,23 +38,19 @@ CONFIGS = {
         # time reallocation, not creation; these two aim at detour
         # QUALITY/efficiency. Round-4 numbers: relax4 nogate 82.6/88.8,
         # gate15 80.9/90.2, gate+spent30 79.2/91.0)
-        # round 6 (round 5: scored waypoints + end-on-arrival BROKE the
-        # constant-sum frontier — cand_arrive 83.5/90.0, budget3 84.8
-        # first; now push first-goal to 85 while holding overall >= 90)
-        "cand_arrive": dict(push_relax=4.0, esc_gate=999.0),
-        "b3_gate25": dict(push_relax=4.0, esc_gate=0.25, esc_budget=3.0),
-        "b3_gate25_spent45": dict(push_relax=4.0, esc_gate=0.25,
-                                  esc_budget=3.0, timeout_spent=45.0),
-        "b4_gate25": dict(push_relax=4.0, esc_gate=0.25, esc_budget=4.0),
-        "b3_gate25_relax1": dict(push_relax=1.0, esc_gate=0.25,
-                                 esc_budget=3.0),
-        "b3_gate25_boost45": dict(push_relax=4.0, esc_gate=0.25,
-                                  esc_budget=3.0, push_boost=4.5,
-                                  push_near=0.12),
-        "b3_gate25_trig28": dict(push_relax=4.0, esc_gate=0.25,
-                                 esc_budget=3.0, esc_trigger=28.0),
-        "b3_gate25_side45": dict(push_relax=4.0, esc_gate=0.25,
-                                 esc_budget=3.0, esc_side=0.45),
+        # round 7: c-space re-posing during detours (round 6: every
+        # gate/budget/boost refinement of cand_arrive was a pure trade;
+        # residual failures are 58% >=10 cm stalls — wedged CONFIGURATIONS
+        # the EE-space detour doesn't unwedge). cand_arrive (= the new
+        # env defaults) anchors.
+        "cand_arrive": dict(),
+        "cspace5": dict(esc_cspace=5.0),
+        "cspace20": dict(esc_cspace=20.0),
+        "cspace60": dict(esc_cspace=60.0),
+        "cspace20_b3": dict(esc_cspace=20.0, esc_budget=3.0),
+        "cspace20_long": dict(esc_cspace=20.0, esc_ticks=30.0),
+        "cspace20_side45": dict(esc_cspace=20.0, esc_side=0.45),
+        "cspace20_noarrive": dict(esc_cspace=20.0, esc_arrive=0.0),
     },
     "dual_panda/randomized_clutter": {
         "no_mechanisms": dict(budget=0.0, push_boost=1.0),

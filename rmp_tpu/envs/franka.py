@@ -386,6 +386,14 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         esc_arrive=1.0,    # 1: end a detour as soon as the EE reaches the
         #                    waypoint (within 6 cm) instead of parking out
         #                    the timer
+        esc_cspace=1.0,    # scale the cspace_target policy's metric and
+        #                    position gain by this DURING detours (re-pose
+        #                    the arm toward q_ready while the EE detours).
+        #                    Paired-measured MONOTONICALLY WORSE (x5:
+        #                    83.5->83.5, x20: 80.0, x60: 78.8 first-goal)
+        #                    — the ready-pose pull fights the detour
+        #                    waypoint. Ships off; knob kept as the
+        #                    documented negative result.
         esc_gate=999.0,    # m: detour only when the env has already been
         #                    this close. Paired-swept: every gate value
         #                    (0.15/0.20/0.25) traded ~1.5 first-goal pts
@@ -581,6 +589,11 @@ def env_randomized_cluttered(n_obstacles: int = 7,
                 prm = dict(prm,
                            repulsion_gain=prm["repulsion_gain"] / relax,
                            metric_scalar=prm["metric_scalar"] / relax)
+            elif p.name == "cspace_target":
+                cspace = jnp.where(escaping, cfg["esc_cspace"], 1.0)
+                prm = dict(prm,
+                           metric_scalar=prm["metric_scalar"] * cspace,
+                           position_gain=prm["position_gain"] * cspace)
             out.append(prm)
         return tuple(out)
     # gains retuned for the randomized workload via the one-compile grid
