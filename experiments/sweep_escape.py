@@ -53,14 +53,21 @@ CONFIGS = {
         "cspace20_noarrive": dict(esc_cspace=20.0, esc_arrive=0.0),
     },
     "dual_panda/randomized_clutter": {
-        "no_mechanisms": dict(budget=0.0, push_boost=1.0),
-        "default": dict(),
-        "yield_eager": dict(yield_trigger=15.0, yield_radius=0.35),
-        "no_yield": dict(yield_trigger=1e6),
-        "relax4": dict(push_relax=4.0),
-        "timeout60": dict(timeout=60.0),
-        "man_long": dict(man_ticks=45.0),
-        "hold_wide": dict(hold_tol=0.06),
+        # round 5: scored retreat waypoints + metric-only relax (round 4:
+        # push_only 64.7/89.6/0.8, b2+spent50 70.2/86.8/0.7; need
+        # 70/90/0.5 jointly)
+        "no_mechanisms": dict(budget=0.0, push_boost=1.0,
+                              push_relax=1.0, man_scored=0.0),
+        "b2_scored": dict(budget=2.0),
+        "b2_scored_mrelax2": dict(budget=2.0, push_relax_metric=1.0),
+        "b2_scored_mrelax4": dict(budget=2.0, push_relax=4.0,
+                                  push_relax_metric=1.0),
+        "b2_unscored": dict(budget=2.0, man_scored=0.0),
+        "b3_scored_spent35": dict(timeout_spent=35.0),
+        "b2_scored_yieldeager": dict(budget=2.0, yield_trigger=15.0,
+                                     yield_radius=0.35),
+        "push_only_mrelax4": dict(budget=0.0, push_relax=4.0,
+                                  push_relax_metric=1.0),
     },
 }
 

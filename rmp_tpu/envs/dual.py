@@ -280,11 +280,24 @@ def env_randomized_clutter(n_obstacles: int = 5,
     # sweeps override them after reset without recompiling (same
     # one-compile pattern as franka/randomized_cluttered's escape cfg).
     CFG = dict(
+        man_first_only=1.0,  # maneuvers only before the first goal event
+        #                      (franka lesson: escapes on keep-busy goals
+        #                      are net-negative — dual paired sweep:
+        #                      ungated maneuvers cost 15 pts of overall
+        #                      for +12-15 first-goal)
+        man_arrive=1.0,      # end a maneuver when the arm reaches its
+        #                      waypoint (8 cm) instead of parking out the
+        #                      timer (franka round-5 creation lesson)
         yield_radius=0.30,  # m, EE-EE distance that counts as contested
         yield_trigger=25.0,  # stalled ticks before the far arm yields
         esc_trigger=40.0,   # stalled ticks before a solo obstacle detour
         man_ticks=30.0,     # yield/detour duration
         timeout=80.0,       # stalled ticks before the arm's goal resamples
+        timeout_spent=50.0,  # faster per-arm reassignment once that arm's
+        #                     maneuver budget is spent (franka pattern —
+        #                     maneuvers reset the stall window, so without
+        #                     this the reassignment that rescues OVERALL
+        #                     success gets pushed out by hundreds of ticks)
         budget=3.0,         # maneuvers per arm per goal; then timeout rules
         hold_tol=0.035,     # arms parked within this of goal never stall.
         #                     Must sit just ABOVE solved_tol (0.03): wider
@@ -292,13 +305,26 @@ def env_randomized_clutter(n_obstacles: int = 5,
         #                     neither satisfies the joint solve nor ever
         #                     registers as stalled (no push, no timeout —
         #                     only the 120-tick global backstop would act)
+        push_first_only=0.0,  # 1: the final-push boost also only before
+        #                       the first goal event (later goals have no
+        #                       detour support, and push-without-detours
+        #                       measured net-negative on franka)
         push_trigger=20.0,  # final-push boost (franka pattern): stalled
         push_near=0.08,     # close to the goal -> scale the arm's
         push_boost=3.0,     # attractor gains to shift the equilibrium in
-        push_relax=1.0,     # divide the grouped obstacle policy's
+        push_relax=2.0,     # divide the grouped obstacle policy's
         #                     repulsion_gain/metric_scalar by this while
         #                     EITHER arm pushes (the policy spans both
         #                     arms, so relax is necessarily global)
+        push_relax_metric=0.0,  # 1: relax the metric_scalar ONLY, keep
+        #                     repulsion_gain full force (blend weight
+        #                     yields, the barrier stays — penetration
+        #                     control)
+        man_scored=1.0,     # 1: pick the retreat waypoint by scoring 4
+        #                     candidates (station, lift +30 cm, own-side
+        #                     +-y) on clearance minus goal detour
+        #                     (franka round-5 creation pattern); 0: the
+        #                     fixed side station + jitter
     )
     # retreat stations: each arm's OWN side of the shared workspace, past
     # the obstacle box (|y| > 0.28) so a retreat also leaves the clutter
@@ -321,14 +347,18 @@ def env_randomized_clutter(n_obstacles: int = 5,
         # per-arm final-push boost (franka/randomized_cluttered pattern:
         # near-miss stalls are force equilibria just outside tolerance)
         push = (~maneuvering & (sc["noprog"] >= cfg["push_trigger"])
-                & (sc["best"] < cfg["push_near"]))
+                & (sc["best"] < cfg["push_near"])
+                & ((cfg["push_first_only"] < 0.5) | (state.phase == 0)))
         boost = jnp.where(push, cfg["push_boost"], 1.0)          # (2,)
         relax = jnp.where(jnp.any(push), cfg["push_relax"], 1.0)
+        # metric-only mode: the blend weight yields, the barrier force
+        # stays at full strength (penetration control)
+        relax_rep = jnp.where(cfg["push_relax_metric"] > 0.5, 1.0, relax)
         out = []
         for p, prm in zip(pols, params):
             if p.name == "collision_avoidance":
                 prm = dict(prm,
-                           repulsion_gain=prm["repulsion_gain"] / relax,
+                           repulsion_gain=prm["repulsion_gain"] / relax_rep,
                            metric_scalar=prm["metric_scalar"] / relax)
             elif p.name == "attractor_L":
                 prm = dict(prm, goal=eff[0],
@@ -357,7 +387,8 @@ def env_randomized_clutter(n_obstacles: int = 5,
         noprog = jnp.where((d < cfg["hold_tol"]) | improved, 0,
                            sc["noprog"] + 1)
 
-        free = (sc["man_ticks"] == 0) & (sc["man_count"] < cfg["budget"])
+        free = ((sc["man_ticks"] == 0) & (sc["man_count"] < cfg["budget"])
+                & ((cfg["man_first_only"] < 0.5) | (state.phase == 0)))
         contested = (jnp.linalg.norm(ee[0] - ee[1])
                      < cfg["yield_radius"])
         stalled_y = noprog >= cfg["yield_trigger"]
@@ -370,11 +401,57 @@ def env_randomized_clutter(n_obstacles: int = 5,
 
         k, sub = jax.random.split(state.key)
         jit_off = jax.random.uniform(sub, (2, 3), minval=-0.12, maxval=0.12)
-        wp_new = jnp.asarray(_STATION) + jit_off
+        wp_station = jnp.asarray(_STATION) + jit_off
+
+        # scored candidates per arm (franka round-5 creation pattern):
+        # station, straight lift, own-side +-y slides — best clearance
+        # (capped at 12 cm, vs obstacles AND the other arm's EE) minus
+        # goal-detour distance
+        obs = state.sim.obstacles
+        seg = obs.p1 - obs.p0
+        seg_len2 = jnp.einsum("kc,kc->k", seg, seg)
+
+        def clearance(p, other_ee):
+            t_seg = jnp.clip(
+                jnp.einsum("kc,kc->k", p[None] - obs.p0, seg)
+                / (seg_len2 + 1e-12), 0.0, 1.0)
+            foot = obs.p0 + t_seg[:, None] * seg
+            dd = jnp.linalg.norm(p[None] - foot, axis=-1) - obs.radius
+            out = jnp.linalg.norm(p - other_ee) - 0.10
+            for i in range(dd.shape[0]):
+                out = jnp.minimum(out, dd[i])
+            return out
+
+        side_y = (0.30, -0.30)                               # own halves
+        best_per_arm = []
+        for a in (0, 1):
+            cands = (wp_station[a],
+                     ee[a] + jnp.asarray([0.0, 0.0, 0.30], jnp.float32),
+                     ee[a] + jnp.asarray([0.0, side_y[a], 0.0],
+                                         jnp.float32),
+                     ee[a] + jnp.asarray([-0.15, side_y[a], 0.20],
+                                         jnp.float32))
+            best_c = cands[0]
+            best_s = -jnp.inf
+            for c in cands:
+                s = (jnp.minimum(clearance(c, ee[1 - a]), 0.12)
+                     - 0.35 * jnp.linalg.norm(c - state.sim.goal[a]))
+                take = s > best_s
+                best_c = jnp.where(take, c, best_c)
+                best_s = jnp.maximum(best_s, s)
+            best_per_arm.append(best_c)
+        wp_new = jnp.where(cfg["man_scored"] > 0.5,
+                           jnp.stack(best_per_arm), wp_station)
         any_t = jnp.any(trigger)
 
+        # end-on-arrival: a maneuver that reached its waypoint has done
+        # its job — resume the goal chase instead of parking out the timer
+        arrived = ((sc["man_ticks"] > 0) & (cfg["man_arrive"] > 0.5)
+                   & (jnp.linalg.norm(ee - sc["wp"], axis=-1) < 0.08))
+        ticks_dec = jnp.where(arrived, 0,
+                              jnp.maximum(sc["man_ticks"] - 1, 0))
         ticks_next = jnp.where(trigger, cfg["man_ticks"].astype(jnp.int32),
-                               jnp.maximum(sc["man_ticks"] - 1, 0))
+                               ticks_dec)
         scratch = dict(
             sc,
             man_ticks=ticks_next,
@@ -455,7 +532,7 @@ def env_randomized_clutter(n_obstacles: int = 5,
         # pre-r4 joint resample threw away the healthy arm's goal (and all
         # its progress) whenever the OTHER arm timed out.
         sc = state.scratch
-        timed_out = sc["noprog"] >= sc["cfg"]["timeout"]     # (2,)
+        timed_out = sc["noprog"] >= _arm_timeout(sc)         # (2,)
         both = ~jnp.any(timed_out)                   # solved / backstop
         resample = timed_out | both
         k, sub = jax.random.split(state.key)
@@ -471,11 +548,20 @@ def env_randomized_clutter(n_obstacles: int = 5,
         return dataclasses.replace(state, sim=sim, key=k,
                                    phase=state.steps, scratch=scratch)
 
+    def _arm_timeout(sc):
+        # per-arm window: the full timeout while maneuvers remain, the
+        # fast one once the arm's budget is spent (budget=0 = disabled
+        # maneuvers, never counts as spent)
+        spent = (sc["cfg"]["budget"] > 0) & (sc["man_count"]
+                                             >= sc["cfg"]["budget"])
+        return jnp.where(spent, sc["cfg"]["timeout_spent"],
+                         sc["cfg"]["timeout"])
+
     def stuck_fn(state: EnvState):
         sc = state.scratch
         # per-arm timeouts + a global backstop (e.g. an arm hovering just
         # outside hold_tol forever is invisible to the per-arm windows)
-        return (jnp.any(sc["noprog"] >= sc["cfg"]["timeout"])
+        return (jnp.any(sc["noprog"] >= _arm_timeout(sc))
                 | (state.no_progress >= 120))
 
     space = rnd.RobotSampleSpace(
