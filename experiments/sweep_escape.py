@@ -53,21 +53,19 @@ CONFIGS = {
         "cspace20_noarrive": dict(esc_cspace=20.0, esc_arrive=0.0),
     },
     "dual_panda/randomized_clutter": {
-        # round 5: scored retreat waypoints + metric-only relax (round 4:
-        # push_only 64.7/89.6/0.8, b2+spent50 70.2/86.8/0.7; need
-        # 70/90/0.5 jointly)
+        # round 7, final: maneuver budget (round 6: hold-assist explodes
+        # above x3 — underdamped spring at dt=0.01 — rejected; defaults
+        # now budget2/unscored/relax2/spent50)
         "no_mechanisms": dict(budget=0.0, push_boost=1.0,
-                              push_relax=1.0, man_scored=0.0),
-        "b2_scored": dict(budget=2.0),
-        "b2_scored_mrelax2": dict(budget=2.0, push_relax_metric=1.0),
-        "b2_scored_mrelax4": dict(budget=2.0, push_relax=4.0,
-                                  push_relax_metric=1.0),
-        "b2_unscored": dict(budget=2.0, man_scored=0.0),
-        "b3_scored_spent35": dict(timeout_spent=35.0),
-        "b2_scored_yieldeager": dict(budget=2.0, yield_trigger=15.0,
-                                     yield_radius=0.35),
-        "push_only_mrelax4": dict(budget=0.0, push_relax=4.0,
-                                  push_relax_metric=1.0),
+                              push_relax=1.0),
+        "b1": dict(budget=1.0),
+        "b1_spent35": dict(budget=1.0, timeout_spent=35.0),
+        "b2": dict(),
+        "b2_spent35": dict(timeout_spent=35.0),
+        "push_only": dict(budget=0.0),
+        "b1_relax4": dict(budget=1.0, push_relax=4.0),
+        "b1_yieldeager": dict(budget=1.0, yield_trigger=15.0,
+                              yield_radius=0.35),
     },
 }
 

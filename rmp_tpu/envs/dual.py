@@ -298,7 +298,7 @@ def env_randomized_clutter(n_obstacles: int = 5,
         #                     maneuvers reset the stall window, so without
         #                     this the reassignment that rescues OVERALL
         #                     success gets pushed out by hundreds of ticks)
-        budget=3.0,         # maneuvers per arm per goal; then timeout rules
+        budget=2.0,         # maneuvers per arm per goal; then timeout rules
         hold_tol=0.035,     # arms parked within this of goal never stall.
         #                     Must sit just ABOVE solved_tol (0.03): wider
         #                     values let an arm park at 3.5-4.5 cm where it
@@ -320,11 +320,23 @@ def env_randomized_clutter(n_obstacles: int = 5,
         #                     repulsion_gain full force (blend weight
         #                     yields, the barrier stays — penetration
         #                     control)
-        man_scored=1.0,     # 1: pick the retreat waypoint by scoring 4
+        hold_boost=1.0,     # >1: when an arm is within hold_radius of its
+        #                     goal, scale its attractor gains+metric to
+        #                     pin it while the other finishes. Paired-
+        #                     measured CATASTROPHIC above ~3 (x6: 17%
+        #                     first-goal, 8% penetration — the scaled
+        #                     spring is underdamped at dt=0.01 and
+        #                     explodes; x3 merely neutral at 2% pen).
+        #                     Ships OFF; kept as the documented negative.
+        hold_radius=0.05,   # m, engagement distance for hold-assist
+        man_scored=0.0,     # 1: pick the retreat waypoint by scoring 4
         #                     candidates (station, lift +30 cm, own-side
         #                     +-y) on clearance minus goal detour
-        #                     (franka round-5 creation pattern); 0: the
-        #                     fixed side station + jitter
+        #                     (franka round-5 creation pattern). Paired-
+        #                     measured NO GAIN on dual (70.1/86.9 scored
+        #                     vs 70.3/87.1 fixed-station, round 5) — the
+        #                     fixed stations are already in free space by
+        #                     construction. Ships off.
     )
     # retreat stations: each arm's OWN side of the shared workspace, past
     # the obstacle box (|y| > 0.28) so a retreat also leaves the clutter
@@ -336,6 +348,7 @@ def env_randomized_clutter(n_obstacles: int = 5,
         return dict(man_ticks=z2, man_count=z2,
                     wp=jnp.zeros((2, 3), jnp.float32),
                     noprog=z2, best=jnp.full(2, jnp.inf, jnp.float32),
+                    d=jnp.full(2, jnp.inf, jnp.float32),
                     cfg={k: jnp.asarray(v, jnp.float32)
                          for k, v in CFG.items()})
 
@@ -350,6 +363,11 @@ def env_randomized_clutter(n_obstacles: int = 5,
                 & (sc["best"] < cfg["push_near"])
                 & ((cfg["push_first_only"] < 0.5) | (state.phase == 0)))
         boost = jnp.where(push, cfg["push_boost"], 1.0)          # (2,)
+        # hold-assist: pin an arm that is AT its goal while the other
+        # finishes (the joint predicate needs both in tolerance at once)
+        hold = sc["d"] < cfg["hold_radius"]                      # (2,)
+        hboost = jnp.where(hold, cfg["hold_boost"], 1.0)
+        boost = boost * hboost
         relax = jnp.where(jnp.any(push), cfg["push_relax"], 1.0)
         # metric-only mode: the blend weight yields, the barrier force
         # stays at full strength (penetration control)
@@ -364,12 +382,20 @@ def env_randomized_clutter(n_obstacles: int = 5,
                 prm = dict(prm, goal=eff[0],
                            accel_p_gain=prm["accel_p_gain"] * boost[0],
                            accel_d_gain=prm["accel_d_gain"]
-                           * jnp.sqrt(boost[0]))
+                           * jnp.sqrt(boost[0]),
+                           max_metric_scalar=prm["max_metric_scalar"]
+                           * hboost[0],
+                           min_metric_scalar=prm["min_metric_scalar"]
+                           * hboost[0])
             elif p.name == "attractor_R":
                 prm = dict(prm, goal=eff[1],
                            accel_p_gain=prm["accel_p_gain"] * boost[1],
                            accel_d_gain=prm["accel_d_gain"]
-                           * jnp.sqrt(boost[1]))
+                           * jnp.sqrt(boost[1]),
+                           max_metric_scalar=prm["max_metric_scalar"]
+                           * hboost[1],
+                           min_metric_scalar=prm["min_metric_scalar"]
+                           * hboost[1])
             out.append(prm)
         return tuple(out)
 
@@ -461,7 +487,8 @@ def env_randomized_clutter(n_obstacles: int = 5,
             # outbound leg can't improve the true-goal distance; letting
             # it count would spend the retry budget on transit)
             noprog=jnp.where(trigger | (ticks_next > 0), 0, noprog),
-            best=jnp.where(trigger, jnp.inf, best))
+            best=jnp.where(trigger, jnp.inf, best),
+            d=d)
         return dataclasses.replace(
             state, scratch=scratch,
             key=jnp.where(any_t, k, state.key),
