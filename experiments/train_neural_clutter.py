@@ -34,16 +34,27 @@ from rmp_tpu.envs.neural_clutter import (clearance_aux,  # noqa: E402
                                          make_neural_clutter_env)
 
 
-def episode_metrics(env, states, rollout, params, clear_margin: float):
+def episode_metrics(env, states, rollout, params, clear_margin: float,
+                    pen_margin: float = 0.005):
     """Common scoring for the learned env and the hand-designed yardstick."""
     final, aux = rollout(states, params)
     d_traj = jnp.linalg.norm(aux["ee"] - final.sim.goal[:, None, :], axis=-1)
     # dense reach loss over the SECOND HALF (final-tick-only is sparse and
-    # plateaus, see train_neural_rmp.py), plus collision hinge on every
-    # (tick, link, obstacle) distance below the margin, plus effort
+    # plateaus, see train_neural_rmp.py), plus TWO collision terms on every
+    # (tick, link, obstacle) distance, plus effort. The collision pressure
+    # is SPLIT so the optimizer — not a hand-set margin — trades success
+    # against safety (VERDICT r3 #4): a light proximity hinge below
+    # clear_margin provides shaping gradient before contact, and a separate
+    # heavy penetration hinge below pen_margin (just above the evaluate.py
+    # -1 cm threshold) prices actual contact. One blended hinge at 5 cm
+    # taxed every close-quarters maneuver the same as a collision, which
+    # is exactly the over-conservatism that kept the round-3 asset at
+    # 92.1% success.
     reach = jnp.mean(d_traj[:, d_traj.shape[1] // 2:])
     hinge = jnp.maximum(clear_margin - aux["obst_d"], 0.0)   # (B,T,L,K)
     collision = jnp.mean(jnp.sum(hinge * hinge, axis=(-2, -1)))
+    pen_h = jnp.maximum(pen_margin - aux["obst_d"], 0.0)
+    penetration = jnp.mean(jnp.sum(pen_h * pen_h, axis=(-2, -1)))
     effort = jnp.mean(aux["qdd"] ** 2)
     min_clear = jnp.min(aux["obst_d"], axis=(-2, -1))        # (B, T)
     d_final = d_traj[:, -1]
@@ -55,7 +66,7 @@ def episode_metrics(env, states, rollout, params, clear_margin: float):
         penetrated=jnp.mean((jnp.min(min_clear, axis=-1) < -0.01)
                             .astype(jnp.float32)),
         mean_min_clear=jnp.mean(min_clear))
-    return reach, collision, effort, mets
+    return reach, collision, penetration, effort, mets
 
 
 def main():
@@ -70,10 +81,17 @@ def main():
                          "batch mean (non-finite env grads are dropped)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--hidden", type=int, nargs="+", default=[32, 32])
-    ap.add_argument("--w-collision", type=float, default=30.0,
-                    help="collision hinge weight (squared hinge below "
-                         "--clear-margin, summed over pairs)")
+    ap.add_argument("--w-collision", type=float, default=10.0,
+                    help="proximity hinge weight (squared hinge below "
+                         "--clear-margin, summed over pairs) — light "
+                         "shaping pressure, NOT the safety term")
     ap.add_argument("--clear-margin", type=float, default=0.05)
+    ap.add_argument("--w-pen", type=float, default=300.0,
+                    help="penetration hinge weight (squared hinge below "
+                         "--pen-margin) — the heavy term that prices "
+                         "actual contact; the optimizer trades it "
+                         "against reach instead of a hand-set blend")
+    ap.add_argument("--pen-margin", type=float, default=0.005)
     ap.add_argument("--w-effort", type=float, default=1e-4)
     ap.add_argument("--barrier", action="store_true",
                     help="structural near-contact authority variant "
@@ -117,10 +135,12 @@ def main():
 
     def metrics(net):
         params = base[:obstacle_slot] + (dict(base[obstacle_slot], net=net),)
-        reach, collision, effort, mets = episode_metrics(
-            env, states, rollout, params, args.clear_margin)
-        loss = reach + args.w_collision * collision + args.w_effort * effort
-        return loss, dict(mets, reach=reach, collision=collision)
+        reach, collision, penetration, effort, mets = episode_metrics(
+            env, states, rollout, params, args.clear_margin, args.pen_margin)
+        loss = (reach + args.w_collision * collision
+                + args.w_pen * penetration + args.w_effort * effort)
+        return loss, dict(mets, reach=reach, collision=collision,
+                          pen_loss=penetration)
 
     # yardstick: the production hand-designed obstacle leaf on the SAME
     # episodes (same reset keys; identical attractor stack and scoring)
@@ -130,10 +150,10 @@ def main():
         aux_fn=clearance_aux)
     hand_rollout = envs_mod.make_batched_rollout(hand_env, args.ticks,
                                                  remat=True)
-    _, _, _, hand = jax.jit(
+    _, _, _, _, hand = jax.jit(
         lambda: episode_metrics(hand_env, states, hand_rollout,
                                 hand_env.gather_params(),
-                                args.clear_margin))()
+                                args.clear_margin, args.pen_margin))()
     print("hand-designed yardstick: "
           + "  ".join(f"{k} {float(v):.4f}" for k, v in hand.items()))
 
@@ -155,8 +175,11 @@ def main():
         reach = jnp.mean(d_traj[d_traj.shape[0] // 2:])
         hinge = jnp.maximum(args.clear_margin - a["obst_d"], 0.0)
         collision = jnp.mean(jnp.sum(hinge * hinge, axis=(-2, -1)))
+        pen_h = jnp.maximum(args.pen_margin - a["obst_d"], 0.0)
+        penetration = jnp.mean(jnp.sum(pen_h * pen_h, axis=(-2, -1)))
         effort = jnp.mean(a["qdd"] ** 2)
-        return reach + args.w_collision * collision + args.w_effort * effort
+        return (reach + args.w_collision * collision
+                + args.w_pen * penetration + args.w_effort * effort)
 
     def vg(net):
         vals, grads = jax.vmap(jax.value_and_grad(env_loss),

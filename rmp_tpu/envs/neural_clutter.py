@@ -95,9 +95,12 @@ def env_neural_clutter():
     penetration on 4096 envs x 300 ticks (hand-designed leaf: 92.9% /
     1.0%; reports/eval_neural_clutter.json).
 
-    RMP_NEURAL_CLUTTER_ASSET overrides the weights file, so retrained
-    candidates evaluate through the standard sweep CLI
-    (experiments/evaluate.py --env franka/neural_clutter) before being
-    committed as the asset."""
+    RMP_NEURAL_CLUTTER_ASSET overrides the weights file (and
+    RMP_NEURAL_CLUTTER_BARRIER=0 the head variant), so retrained
+    candidates — either parametrization — evaluate through the standard
+    sweep CLI (experiments/evaluate.py --env franka/neural_clutter)
+    before being committed as the asset."""
     path = os.environ.get("RMP_NEURAL_CLUTTER_ASSET", _ASSET)
-    return make_neural_clutter_env(net=load_trained_net(path), barrier=True)
+    barrier = os.environ.get("RMP_NEURAL_CLUTTER_BARRIER", "1") == "1"
+    return make_neural_clutter_env(net=load_trained_net(path),
+                                   barrier=barrier)
