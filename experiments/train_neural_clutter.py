@@ -109,6 +109,15 @@ def main():
                     help="stop this invocation after N optimizer steps "
                          "while keeping the full --steps lr schedule "
                          "(time-sliced training; resume with --resume)")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start the net from an .npz asset (e.g. the "
+                         "committed neural_clutter_franka.npz) instead of "
+                         "the transparent init — fine-tuning mode")
+    ap.add_argument("--resample-every", type=int, default=0,
+                    help="redraw the TRAINING episode batch every N steps "
+                         "(fresh randomized scenes; the printed eval "
+                         "metrics stay on the fixed seed set). 0 = train "
+                         "on one fixed batch (the round-3 recipe)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -122,10 +131,14 @@ def main():
     net_init = transparent_obstacle_init(mlp_init(
         jax.random.PRNGKey(args.seed),
         (neural_mod.OBSTACLE_FEATURES, *args.hidden, 2)))
+    if args.init_from:
+        from rmp_tpu.envs.neural_clutter import load_trained_net
+        net_init = load_trained_net(args.init_from)
+        print(f"warm-started net from {args.init_from}")
     env = make_neural_clutter_env(net=net_init, hidden=tuple(args.hidden),
                                   train=True, barrier=args.barrier)
-    states = envs_mod.make_batched_reset(env, args.batch)(
-        jax.random.PRNGKey(args.seed))
+    reset_fn = envs_mod.make_batched_reset(env, args.batch)
+    states = reset_fn(jax.random.PRNGKey(args.seed))
     # remat: BPTT through ticks x 10 substeps at this batch size needs the
     # rematerialized scan (54959bc) to fit HBM
     rollout = envs_mod.make_batched_rollout(env, args.ticks, remat=True)
@@ -181,9 +194,9 @@ def main():
         return (reach + args.w_collision * collision
                 + args.w_pen * penetration + args.w_effort * effort)
 
-    def vg(net):
+    def vg(net, train_states):
         vals, grads = jax.vmap(jax.value_and_grad(env_loss),
-                               in_axes=(None, 0))(net, states)  # (B, ...)
+                               in_axes=(None, 0))(net, train_states)
         leaf_ok = [jnp.all(jnp.isfinite(g), axis=tuple(range(1, g.ndim)))
                    for g in jax.tree.leaves(grads)]
         ok = jnp.stack(leaf_ok, axis=0).all(axis=0) & jnp.isfinite(vals)
@@ -220,8 +233,12 @@ def main():
         start, net, opt_state, best_val, best_net = \
             restore_train_checkpoint(args.ckpt, net, opt_state)
         print(f"resumed {args.ckpt} at step {start}")
+    train_states = states
     for step in range(start, args.steps):
-        val, grad, gnorm, dropped = vg(net)
+        if args.resample_every and step and step % args.resample_every == 0:
+            train_states = reset_fn(jax.random.PRNGKey(
+                (args.seed + 1) * 100003 + step))
+        val, grad, gnorm, dropped = vg(net, train_states)
         if float(val) < best_val:
             best_val, best_net = float(val), net
         updates, opt_state = opt.update(grad, opt_state)
@@ -242,7 +259,7 @@ def main():
                   f"(at step {done}/{args.steps})")
             return
 
-    val = vg(net)[0]
+    val = vg(net, train_states)[0]
     if float(val) < best_val:
         best_val, best_net = float(val), net
 
