@@ -14,6 +14,7 @@ thousands of states and shard over device meshes (parallel/).
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from typing import Callable
 
 import jax
@@ -205,21 +206,35 @@ def _call_bind(bind, params, sim, policies, state):
     (params, sim, policies, env_state) — escape maneuvers and yielding
     bind DETOUR goals from EnvState.scratch without touching sim.goal
     (which the solved predicate reads). Arity is resolved once per
-    function object at trace time (Python-side, free in the jit)."""
+    function object at trace time (Python-side, free in the jit).
+
+    The memo is a WeakKeyDictionary keyed by the function OBJECT — never
+    id(): CPython reuses ids after GC, so an id-keyed cache handed a
+    4-arg state-aware bind a stale arity of 3 whenever a long-lived
+    process constructed several envs (round-4 regression, caught by
+    test_obstacle_capacity_bucketing_no_retrace in suite order).
+    Closures/lambdas are weakref-able; anything that isn't (rare) just
+    pays inspect.signature each call — trace-time only, free."""
     import inspect
-    arity = _BIND_ARITY.get(id(bind))
+    try:
+        arity = _BIND_ARITY.get(bind)
+    except TypeError:
+        arity = None
     if arity is None:
         try:
             arity = len(inspect.signature(bind).parameters)
         except (TypeError, ValueError):
             arity = 3
-        _BIND_ARITY[id(bind)] = arity
+        try:
+            _BIND_ARITY[bind] = arity
+        except TypeError:
+            pass
     if arity >= 4:
         return bind(params, sim, policies, state)
     return bind(params, sim, policies)
 
 
-_BIND_ARITY: dict = {}
+_BIND_ARITY: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def ee_position(env: Env, sim: SimState) -> Array:

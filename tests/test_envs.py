@@ -532,6 +532,55 @@ def test_every_registered_scenario_rolls_finite():
         assert q.shape[0] == 2 and np.all(np.isfinite(q)), name
 
 
+def test_call_bind_arity_survives_id_reuse():
+    """Regression (VERDICT r4 #1): the bind-arity memo was keyed by
+    id(bind) without holding the function — after GC, a NEW bind function
+    reusing the id inherited a stale arity, so a 4-arg state-aware bind
+    was called with 3 args (TypeError) in any process constructing
+    several envs. The memo is now a WeakKeyDictionary keyed by the
+    function object itself."""
+    import gc
+
+    from rmp_tpu.envs import base as B
+
+    def mk3():
+        def bind(params, sim, policies):
+            return ("three", params)
+        return bind
+
+    def mk4():
+        def bind(params, sim, policies, state):
+            return ("four", state)
+        return bind
+
+    # Interleave construct/memoize/drop so CPython reuses freed closure
+    # ids — under the old id-keyed cache this loop handed 4-arg binds a
+    # stale arity of 3 within a few iterations.
+    for _ in range(300):
+        b3 = mk3()
+        assert B._call_bind(b3, "p", "s", "pol", "st")[0] == "three"
+        del b3
+        b4 = mk4()
+        assert B._call_bind(b4, "p", "s", "pol", "st")[0] == "four"
+        del b4
+
+    gc.collect()
+    assert len(B._BIND_ARITY) == 0, "weak memo leaked dropped binds"
+
+    # env-level: a 3-arg-bind env dropped, then a 4-arg-bind (state-aware)
+    # env constructed and stepped — the round-4 suite-order failure mode.
+    env3 = envs.make("franka/06_cluttered_environment")
+    assert env3.bind_params is not None
+    s3 = env3.reset(jax.random.PRNGKey(0))
+    make_control_step(env3)(s3, env3.gather_params())
+    del env3, s3
+    gc.collect()
+    env4 = envs.make("franka/randomized_cluttered")
+    s4 = env4.reset(jax.random.PRNGKey(0))
+    out4, _ = make_control_step(env4)(s4, env4.gather_params())
+    assert np.isfinite(np.asarray(out4.sim.q)).all()
+
+
 def test_obstacle_capacity_bucketing_no_retrace():
     """VERDICT r4 #8: scenes with different obstacle COUNTS inside one
     capacity bucket reuse the same compiled program (the reference
@@ -569,3 +618,323 @@ def test_obstacle_capacity_bucketing_no_retrace():
     _, aux_u = jax.jit(make_control_step(env_u))(s5u, env_u.gather_params())
     np.testing.assert_allclose(np.asarray(aux5["qdd"]),
                                np.asarray(aux_u["qdd"]), atol=1e-6)
+
+
+# --- behavioral machinery semantics (VERDICT r4 #3) -------------------------
+# The escape/yield/push mechanisms are deterministic functions of EnvState:
+# pin each trigger/budget/arrival/binding rule on constructed states instead
+# of leaving all behavioral evidence in TPU sweep numbers quoted in comments.
+
+
+def _with_cfg(state, **kv):
+    """Override traced cfg knobs on a constructed EnvState."""
+    cfg = dict(state.scratch["cfg"])
+    for k, v in kv.items():
+        cfg[k] = jnp.asarray(v, jnp.float32)
+    return dataclasses.replace(state, scratch=dict(state.scratch, cfg=cfg))
+
+
+def _with_scratch(state, **kv):
+    return dataclasses.replace(state, scratch=dict(state.scratch, **kv))
+
+
+def _franka_stalled_state(env, key=0, no_progress=35):
+    state = env.reset(jax.random.PRNGKey(key))
+    return dataclasses.replace(
+        state, no_progress=jnp.asarray(no_progress, jnp.int32),
+        goal_best=jnp.asarray(0.3, jnp.float32))
+
+
+def test_franka_escape_trigger_budget_and_detour_binding():
+    """The detour fires exactly at esc_trigger no-progress ticks (first
+    goal only, budget permitting); while it runs, bind_params points the
+    ATTRACTOR at the waypoint but sim.goal — what is_solved reads — is
+    untouched (envs/franka.py pre_tick/bind)."""
+    from rmp_tpu.envs import franka
+
+    env = franka.env_randomized_cluttered(5)
+    params = env.gather_params()
+
+    # at the trigger: detour engages, budget ticks up, progress window
+    # resets so the retry is measured from scratch
+    s = _franka_stalled_state(env)
+    out = env.pre_tick(s)
+    assert int(out.scratch["esc_ticks"]) == int(s.scratch["cfg"]["esc_ticks"])
+    assert int(out.scratch["esc_count"]) == 1
+    assert int(out.no_progress) == 0
+    assert np.isinf(float(out.goal_best))
+    assert not np.array_equal(np.asarray(out.key), np.asarray(s.key))
+    wp = np.asarray(out.scratch["esc_wp"])
+    assert np.all(wp >= [-0.85, -0.85, 0.15]) and np.all(wp <= [0.85, 0.85,
+                                                               0.95])
+    # detour binding: attractor chases the waypoint, sim.goal untouched
+    bound = env.bind_params(params, out.sim, env.policies, out)
+    i_att = [p.name for p in env.policies].index("attractor")
+    np.testing.assert_allclose(np.asarray(bound[i_att]["goal"]), wp)
+    np.testing.assert_allclose(np.asarray(out.sim.goal), np.asarray(s.sim.goal))
+    # no detour: attractor chases the true goal
+    bound0 = env.bind_params(params, s.sim, env.policies, s)
+    np.testing.assert_allclose(np.asarray(bound0[i_att]["goal"]),
+                               np.asarray(s.sim.goal))
+
+    # one tick BEFORE the trigger: nothing fires
+    s_early = _franka_stalled_state(env, no_progress=34)
+    assert int(env.pre_tick(s_early).scratch["esc_ticks"]) == 0
+
+    # budget spent: no further detours
+    s_spent = _with_scratch(_franka_stalled_state(env),
+                            esc_count=jnp.asarray(2, jnp.int32))
+    out = env.pre_tick(s_spent)
+    assert int(out.scratch["esc_ticks"]) == 0
+    assert int(out.scratch["esc_count"]) == 2
+    # budget=0 disables escapes entirely
+    s_b0 = _with_cfg(_franka_stalled_state(env), esc_budget=0.0)
+    assert int(env.pre_tick(s_b0).scratch["esc_ticks"]) == 0
+
+    # keep-busy goals (phase != 0, i.e. after a goal event) never detour
+    s_late = dataclasses.replace(_franka_stalled_state(env),
+                                 phase=jnp.asarray(7, jnp.int32))
+    assert int(env.pre_tick(s_late).scratch["esc_ticks"]) == 0
+
+
+def test_franka_escape_ends_on_arrival():
+    """esc_arrive=1: a detour that reached its waypoint (within 6 cm) ends
+    immediately instead of parking out the timer; esc_arrive=0 parks."""
+    from rmp_tpu.envs import franka
+    from rmp_tpu.envs.base import ee_position
+
+    env = franka.env_randomized_cluttered(5)
+    state = env.reset(jax.random.PRNGKey(0))
+    ee = ee_position(env, state.sim)
+    mid = _with_scratch(state, esc_ticks=jnp.asarray(10, jnp.int32),
+                        esc_wp=ee + 0.01)             # arrived (1.7 cm off)
+    assert int(env.pre_tick(mid).scratch["esc_ticks"]) == 0
+    parked = _with_cfg(mid, esc_arrive=0.0)
+    assert int(env.pre_tick(parked).scratch["esc_ticks"]) == 9
+    far = _with_scratch(mid, esc_wp=ee + jnp.asarray([0.0, 0.3, 0.0]))
+    assert int(env.pre_tick(far).scratch["esc_ticks"]) == 9
+
+
+def test_franka_push_engages_at_near_stall_and_relaxes_obstacles():
+    """The final-push boost engages at push_trigger stalled ticks IF the
+    env has been within push_near of the goal: attractor gains scale by
+    push_boost (d by sqrt) and the obstacle policies relax by push_relax."""
+    from rmp_tpu.envs import franka
+
+    env = franka.env_randomized_cluttered(5)
+    params = env.gather_params()
+    names = [p.name for p in env.policies]
+    i_att, i_obs = names.index("attractor"), names.index("collision_avoidance")
+
+    near = dataclasses.replace(
+        env.reset(jax.random.PRNGKey(0)),
+        no_progress=jnp.asarray(20, jnp.int32),
+        goal_best=jnp.asarray(0.05, jnp.float32))
+    out = env.pre_tick(near)
+    assert bool(out.scratch["push_on"])
+    bound = env.bind_params(params, out.sim, env.policies, out)
+    cfg = out.scratch["cfg"]
+    np.testing.assert_allclose(
+        float(bound[i_att]["accel_p_gain"]),
+        float(params[i_att]["accel_p_gain"]) * float(cfg["push_boost"]))
+    np.testing.assert_allclose(
+        float(bound[i_att]["accel_d_gain"]),
+        float(params[i_att]["accel_d_gain"])
+        * np.sqrt(float(cfg["push_boost"])), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(bound[i_obs]["repulsion_gain"]),
+        float(params[i_obs]["repulsion_gain"]) / float(cfg["push_relax"]))
+    np.testing.assert_allclose(
+        float(bound[i_obs]["metric_scalar"]),
+        float(params[i_obs]["metric_scalar"]) / float(cfg["push_relax"]))
+
+    # a stall that never got near the goal does NOT push (that's the
+    # detour's job), and an un-stalled env doesn't either
+    far = dataclasses.replace(near, goal_best=jnp.asarray(0.5, jnp.float32))
+    assert not bool(env.pre_tick(far).scratch["push_on"])
+    fresh = dataclasses.replace(near, no_progress=jnp.asarray(3, jnp.int32))
+    assert not bool(env.pre_tick(fresh).scratch["push_on"])
+    # and the un-pushed binding leaves every gain at its shipped value
+    bound0 = env.bind_params(params, near.sim, env.policies,
+                             env.pre_tick(far))
+    np.testing.assert_allclose(float(bound0[i_obs]["repulsion_gain"]),
+                               float(params[i_obs]["repulsion_gain"]))
+
+
+def test_franka_goal_event_resets_escape_budget():
+    """on_solved (solve or timeout resample): fresh goal, fresh escape
+    budget, any in-flight detour cancelled."""
+    from rmp_tpu.envs import franka
+
+    env = franka.env_randomized_cluttered(5)
+    state = _with_scratch(env.reset(jax.random.PRNGKey(0)),
+                          esc_ticks=jnp.asarray(7, jnp.int32),
+                          esc_count=jnp.asarray(2, jnp.int32),
+                          push_on=jnp.asarray(True))
+    out = env.on_solved(state)
+    assert int(out.scratch["esc_ticks"]) == 0
+    assert int(out.scratch["esc_count"]) == 0
+    assert not bool(out.scratch["push_on"])
+    assert not np.allclose(np.asarray(out.sim.goal), np.asarray(state.sim.goal))
+
+
+def test_franka_escape_rescues_walled_scene():
+    """End-to-end: a deterministic 3-cylinder wall between EE and goal
+    traps the reactive RMP in a local minimum forever — the escape detour
+    (and nothing else: goal timeouts disabled) gets the arm around it.
+    Identical scene/params, only the traced esc_budget knob differs."""
+    from rmp_tpu.envs import franka
+    from rmp_tpu.sim.collision import ObstacleSet, cylinder_obstacle
+
+    env = franka.env_randomized_cluttered(3)
+    wall = ObstacleSet.of(*[
+        cylinder_obstacle([x, 0.20, 0.5], [0, 0, 0], 0.03, 0.7)
+        for x in (0.42, 0.48, 0.54)])
+
+    def wall_state(budget):
+        s = env.reset(jax.random.PRNGKey(0))
+        sim = dataclasses.replace(
+            s.sim, q=jnp.asarray(franka.Q_READY),
+            qd=jnp.zeros_like(s.sim.qd), obstacles=wall,
+            goal=jnp.asarray([0.48, 0.40, 0.41]))
+        # timeouts off: the ONLY rescue mechanism in play is the detour
+        s = _with_cfg(dataclasses.replace(s, sim=sim),
+                      timeout=1e6, timeout_spent=1e6, esc_budget=budget)
+        return s
+
+    states = jax.tree.map(lambda *x: jnp.stack(x),
+                          wall_state(0.0), wall_state(3.0))
+    roll = jax.jit(jax.vmap(make_rollout(env, 400), in_axes=(0, None)))
+    final, aux = roll(states, env.gather_params())
+    solved = np.asarray(aux["solved"]).any(axis=1)
+    best = np.asarray(final.goal_best)
+    assert not solved[0] and best[0] > 0.15, (
+        f"budget=0 should stay walled off (best {best[0]:.3f})")
+    assert solved[1], f"escape budget should rescue (best {best[1]:.3f})"
+
+
+def _dual_state(env, key=0):
+    return env.reset(jax.random.PRNGKey(key))
+
+
+def test_dual_contest_farther_arm_yields():
+    """When the arms contest a region and one is stalled, the arm FARTHER
+    from its goal retreats toward its side station while the near arm keeps
+    its true goal (envs/dual.py pre_tick/bind_params)."""
+    from rmp_tpu.envs import dual
+    from rmp_tpu.models import kinematics as K
+
+    env = dual.env_randomized_clutter(3)
+    params = env.gather_params()
+    state = _dual_state(env)
+    iL = env.model.frame_index(dual.EE_L)
+    eL = K.fk_frame(env.model, state.sim.q, iL)[:3, 3]
+
+    # L parked AT its goal (never counts as stalled), R far from its goal
+    # and stalled; force 'contested' via the traced yield_radius knob
+    goals = jnp.stack([eL, jnp.asarray([0.45, -0.25, 0.35])])
+    state = dataclasses.replace(
+        state, sim=dataclasses.replace(state.sim, goal=goals))
+    state = _with_scratch(state,
+                          noprog=jnp.asarray([30, 30], jnp.int32),
+                          best=jnp.asarray([0.0, 0.4], jnp.float32))
+    state = _with_cfg(state, yield_radius=5.0)
+    out = env.pre_tick(state)
+    man = np.asarray(out.scratch["man_ticks"])
+    assert man[1] > 0 and man[0] == 0, "the FARTHER arm (R) must yield"
+    assert int(np.asarray(out.scratch["man_count"])[1]) == 1
+    # R's waypoint is its side station (+ up-to-12cm jitter), on R's side
+    wp = np.asarray(out.scratch["wp"])[1]
+    assert np.linalg.norm(wp - [0.30, -0.35, 0.55]) < 0.25
+    assert wp[1] < 0
+    # binding: R chases the waypoint, L keeps its true goal
+    bound = env.bind_params(params, out.sim, env.policies, out)
+    names = [p.name for p in env.policies]
+    np.testing.assert_allclose(
+        np.asarray(bound[names.index("attractor_R")]["goal"]), wp)
+    np.testing.assert_allclose(
+        np.asarray(bound[names.index("attractor_L")]["goal"]),
+        np.asarray(goals[0]), atol=1e-6)
+
+    # not contested (radius 0): the same stall pattern yields nobody
+    # before esc_trigger (40)
+    solo = _with_cfg(state, yield_radius=0.0)
+    assert np.all(np.asarray(env.pre_tick(solo).scratch["man_ticks"]) == 0)
+    # ... but a 40-tick uncontested stall fires the SOLO escape per arm
+    # (goals far from BOTH arms — a parked arm never counts as stalled)
+    far_goals = jnp.asarray([[0.45, 0.25, 0.35], [0.45, -0.25, 0.35]])
+    solo40 = dataclasses.replace(
+        solo, sim=dataclasses.replace(solo.sim, goal=far_goals))
+    solo40 = _with_scratch(solo40,
+                           noprog=jnp.asarray([40, 40], jnp.int32),
+                           best=jnp.asarray([0.0, 0.0], jnp.float32))
+    man_solo = np.asarray(env.pre_tick(solo40).scratch["man_ticks"])
+    assert man_solo[0] > 0 and man_solo[1] > 0
+
+
+def test_dual_push_relax_modes_and_budget():
+    """The dual push relaxes the grouped obstacle policy globally; with
+    push_relax_metric=1 only the metric yields (the repulsion barrier
+    stays). Maneuver budget gates both yield and solo escapes."""
+    from rmp_tpu.envs import dual
+
+    env = dual.env_randomized_clutter(3)
+    params = env.gather_params()
+    names = [p.name for p in env.policies]
+    i_obs = names.index("collision_avoidance")
+    i_L = names.index("attractor_L")
+
+    state = _with_scratch(_dual_state(env),
+                          noprog=jnp.asarray([25, 0], jnp.int32),
+                          best=jnp.asarray([0.05, jnp.inf], jnp.float32))
+    bound = env.bind_params(params, state.sim, env.policies, state)
+    cfg = state.scratch["cfg"]
+    np.testing.assert_allclose(
+        float(bound[i_L]["accel_p_gain"]),
+        float(params[i_L]["accel_p_gain"]) * float(cfg["push_boost"]))
+    np.testing.assert_allclose(
+        float(bound[i_obs]["repulsion_gain"]),
+        float(params[i_obs]["repulsion_gain"]) / float(cfg["push_relax"]))
+    # metric-only mode: barrier force kept, blend weight yields
+    state_m = _with_cfg(state, push_relax_metric=1.0)
+    bound_m = env.bind_params(params, state_m.sim, env.policies, state_m)
+    np.testing.assert_allclose(float(bound_m[i_obs]["repulsion_gain"]),
+                               float(params[i_obs]["repulsion_gain"]))
+    np.testing.assert_allclose(
+        float(bound_m[i_obs]["metric_scalar"]),
+        float(params[i_obs]["metric_scalar"]) / float(cfg["push_relax"]))
+
+    # budget: an arm with its maneuvers spent cannot yield or escape
+    spent = _with_scratch(state,
+                          noprog=jnp.asarray([50, 50], jnp.int32),
+                          best=jnp.asarray([0.3, 0.4], jnp.float32),
+                          man_count=jnp.asarray([2, 2], jnp.int32))
+    spent = _with_cfg(spent, yield_radius=5.0)
+    assert np.all(np.asarray(env.pre_tick(spent).scratch["man_ticks"]) == 0)
+
+
+def test_dual_per_arm_goal_reassignment():
+    """on_solved fired by a per-arm timeout resamples ONLY the stuck arm's
+    goal; a genuine joint solve resamples both (envs/dual.py on_solved)."""
+    from rmp_tpu.envs import dual
+
+    env = dual.env_randomized_clutter(3)
+    state = _dual_state(env)
+    prev = np.asarray(state.sim.goal)
+
+    # L timed out (noprog >= 80), R healthy
+    stuck = _with_scratch(state, noprog=jnp.asarray([90, 10], jnp.int32),
+                          man_count=jnp.asarray([2, 1], jnp.int32))
+    out = env.on_solved(stuck)
+    new = np.asarray(out.sim.goal)
+    assert not np.allclose(new[0], prev[0]), "stuck arm's goal must resample"
+    np.testing.assert_allclose(new[1], prev[1])
+    # the stuck arm's maneuver budget resets, the healthy arm's doesn't
+    assert int(np.asarray(out.scratch["man_count"])[0]) == 0
+    assert int(np.asarray(out.scratch["man_count"])[1]) == 1
+
+    # joint solve (nobody timed out): both goals resample
+    solved = _with_scratch(state, noprog=jnp.asarray([0, 0], jnp.int32))
+    both = np.asarray(env.on_solved(solved).sim.goal)
+    assert not np.allclose(both[0], prev[0])
+    assert not np.allclose(both[1], prev[1])
