@@ -109,9 +109,14 @@ def run_one(env_name: str, iters: int, batch: int, ticks: int,
               "ticks": ticks}
     for lo, hi in BANDS:
         key = f"{lo:g}-{hi:g}"
+        # nanmax/nanmean: a tick whose band holds no pairs reports NaN
+        # (nanpercentile of an all-NaN select) and must not poison the
+        # across-ticks aggregate
         report[f"abs_err_max_m@{key}"] = float(np.max(
             [t[f"max@{key}"] for t in per_tick]))
-        report[f"abs_err_p99_m@{key}"] = float(np.max(
+        report[f"abs_err_p99_m@{key}"] = float(np.nanmax(
+            [t[f"p99@{key}"] for t in per_tick]))
+        report[f"abs_err_p99_med_tick_m@{key}"] = float(np.nanmedian(
             [t[f"p99@{key}"] for t in per_tick]))
         report[f"abs_err_mean_m@{key}"] = float(np.mean(
             [t[f"mean@{key}"] for t in per_tick]))

@@ -43,29 +43,38 @@ CONFIGS = {
         # residual failures are 58% >=10 cm stalls — wedged CONFIGURATIONS
         # the EE-space detour doesn't unwedge). cand_arrive (= the new
         # env defaults) anchors.
+        # round 8 (r5): IK-CONSISTENT q-space detours (esc_qspace=1 binds
+        # the cspace policy to a DLS solution whose EE sits at the detour
+        # waypoint; the round-7 esc_cspace-to-q_ready variant fought the
+        # waypoint and measured monotonically worse) + the metric-only
+        # push relax (penetration control, dual pattern)
         "cand_arrive": dict(),
-        "cspace5": dict(esc_cspace=5.0),
-        "cspace20": dict(esc_cspace=20.0),
-        "cspace60": dict(esc_cspace=60.0),
-        "cspace20_b3": dict(esc_cspace=20.0, esc_budget=3.0),
-        "cspace20_long": dict(esc_cspace=20.0, esc_ticks=30.0),
-        "cspace20_side45": dict(esc_cspace=20.0, esc_side=0.45),
-        "cspace20_noarrive": dict(esc_cspace=20.0, esc_arrive=0.0),
+        "qspace_c5": dict(esc_qspace=1.0, esc_cspace=5.0),
+        "qspace_c15": dict(esc_qspace=1.0, esc_cspace=15.0),
+        "qspace_c40": dict(esc_qspace=1.0, esc_cspace=40.0),
+        "qspace_c15_b3": dict(esc_qspace=1.0, esc_cspace=15.0,
+                              man_budget=3.0),
+        "pm_only": dict(push_relax_metric=1.0),
+        "qspace_c15_pm": dict(esc_qspace=1.0, esc_cspace=15.0,
+                              push_relax_metric=1.0),
+        "qspace_c15_relax6": dict(esc_qspace=1.0, esc_cspace=15.0,
+                                  push_relax=6.0, push_relax_metric=1.0),
     },
     "dual_panda/randomized_clutter": {
-        # round 7, final: maneuver budget (round 6: hold-assist explodes
-        # above x3 — underdamped spring at dt=0.01 — rejected; defaults
-        # now budget2/unscored/relax2/spent50)
-        "no_mechanisms": dict(budget=0.0, push_boost=1.0,
-                              push_relax=1.0),
-        "b1": dict(budget=1.0),
-        "b1_spent35": dict(budget=1.0, timeout_spent=35.0),
-        "b2": dict(),
-        "b2_spent35": dict(timeout_spent=35.0),
-        "push_only": dict(budget=0.0),
-        "b1_relax4": dict(budget=1.0, push_relax=4.0),
-        "b1_yieldeager": dict(budget=1.0, yield_trigger=15.0,
-                              yield_radius=0.35),
+        # round 8 (r5): PER-ARM obstacle split (VERDICT r4 #6) — the
+        # obstacle policy is split per arm so push_relax applies only to
+        # the pushing arm; push_relax_global=1 reproduces round 4's
+        # global relax for the paired baseline. Question: overall >= 90
+        # at pen <= 0.5% while first-goal stays >= 70.
+        "r4_global": dict(push_relax_global=1.0),
+        "perarm": dict(),
+        "perarm_pm": dict(push_relax_metric=1.0),
+        "perarm_pm_relax4": dict(push_relax_metric=1.0, push_relax=4.0),
+        "perarm_relax4": dict(push_relax=4.0),
+        "perarm_b1": dict(man_budget=1.0),
+        "perarm_pm_b1": dict(push_relax_metric=1.0, man_budget=1.0),
+        "perarm_pm_eager": dict(push_relax_metric=1.0,
+                                yield_trigger=15.0, yield_radius=0.35),
     },
 }
 

@@ -128,13 +128,23 @@ def main():
 
     from rmp_tpu.policies.neural import mlp_init, transparent_obstacle_init
     from rmp_tpu.policies import neural as neural_mod
-    net_init = transparent_obstacle_init(mlp_init(
-        jax.random.PRNGKey(args.seed),
-        (neural_mod.OBSTACLE_FEATURES, *args.hidden, 2)))
     if args.init_from:
+        # ADVICE r4: skip the transparent init entirely (it was computed
+        # then discarded, and --hidden was silently ignored), and flag the
+        # head-variant footgun — the committed barrier asset's weights are
+        # interpreted differently under the unconstrained head.
         from rmp_tpu.envs.neural_clutter import load_trained_net
         net_init = load_trained_net(args.init_from)
-        print(f"warm-started net from {args.init_from}")
+        print(f"warm-started net from {args.init_from} "
+              f"(--hidden ignored; shapes come from the asset)")
+        if not args.barrier:
+            print("WARNING: fine-tuning without --barrier — if the asset "
+                  "was trained with the barrier head its weights will be "
+                  "re-interpreted under the unconstrained head")
+    else:
+        net_init = transparent_obstacle_init(mlp_init(
+            jax.random.PRNGKey(args.seed),
+            (neural_mod.OBSTACLE_FEATURES, *args.hidden, 2)))
     env = make_neural_clutter_env(net=net_init, hidden=tuple(args.hidden),
                                   train=True, barrier=args.barrier)
     reset_fn = envs_mod.make_batched_reset(env, args.batch)
@@ -216,7 +226,7 @@ def main():
         return val, grad, gnorm, 1.0 - n_ok / vals.shape[0]
 
     vg = jax.jit(vg)
-    eval_metrics = jax.jit(lambda n: metrics(n)[1])
+    eval_loss_metrics = jax.jit(metrics)
     hold = int(args.steps * 0.6)
     sched = optax.join_schedules(
         [optax.constant_schedule(args.lr),
@@ -234,17 +244,39 @@ def main():
             restore_train_checkpoint(args.ckpt, net, opt_state)
         print(f"resumed {args.ckpt} at step {start}")
     train_states = states
+    if args.resample_every and start:
+        # ADVICE r4: a resumed run must train on the batch the
+        # uninterrupted run would have — the one drawn at the last
+        # resample boundary, not the seed-0 fixed batch
+        last = (start // args.resample_every) * args.resample_every
+        if last:
+            train_states = reset_fn(jax.random.PRNGKey(
+                (args.seed + 1) * 100003 + last))
+
+    def consider_best(step, best_val, best_net):
+        """ADVICE r4: with --resample-every, per-step training losses are
+        not comparable across batches (the 'best' iterate was just the
+        net that saw an easy batch) — select on the FIXED eval batch."""
+        ev, m = eval_loss_metrics(net)
+        if float(ev) < best_val:
+            return float(ev), net, m
+        return best_val, best_net, m
+
     for step in range(start, args.steps):
         if args.resample_every and step and step % args.resample_every == 0:
             train_states = reset_fn(jax.random.PRNGKey(
                 (args.seed + 1) * 100003 + step))
         val, grad, gnorm, dropped = vg(net, train_states)
-        if float(val) < best_val:
+        if not args.resample_every and float(val) < best_val:
             best_val, best_net = float(val), net
         updates, opt_state = opt.update(grad, opt_state)
         net = optax.apply_updates(net, updates)
         if step % 10 == 0 or step == args.steps - 1:
-            m = eval_metrics(net)
+            if args.resample_every:
+                best_val, best_net, m = consider_best(step, best_val,
+                                                      best_net)
+            else:
+                m = eval_loss_metrics(net)[1]
             print(f"step {step:4d}  loss {float(val):.4f}  "
                   f"gnorm {float(gnorm):.2e}  dropped {float(dropped):.3f}  "
                   + "  ".join(f"{k} {float(v):.4f}" for k, v in m.items()))
@@ -259,11 +291,14 @@ def main():
                   f"(at step {done}/{args.steps})")
             return
 
-    val = vg(net, train_states)[0]
-    if float(val) < best_val:
-        best_val, best_net = float(val), net
+    if args.resample_every:
+        best_val, best_net, _ = consider_best(args.steps, best_val, best_net)
+    else:
+        val = vg(net, train_states)[0]
+        if float(val) < best_val:
+            best_val, best_net = float(val), net
 
-    m = eval_metrics(best_net)
+    m = eval_loss_metrics(best_net)[1]
     print("best: loss %.4f  " % best_val
           + "  ".join(f"{k} {float(v):.4f}" for k, v in m.items()))
     if args.save:

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rmp_tpu import taskmaps as tm
+from rmp_tpu.envs import maneuver as mv
 from rmp_tpu.envs.base import Env, EnvState, env_state
 from rmp_tpu.models import kinematics as K
 from rmp_tpu.models import robots
@@ -195,7 +196,7 @@ _GOAL_BOX_R = ((0.15, -0.30, 0.30), (0.50, 0.05, 0.65))
 
 
 def env_randomized_clutter(n_obstacles: int = 5,
-                           obstacle_capacity: int | None = None) -> Env:
+                           obstacle_capacity: int | None = "auto") -> Env:
     """Domain-randomized dual-arm clutter: the production-evaluation
     counterpart of dual_panda/handover — every env draws its own obstacle
     set in the shared workspace, per-arm goals rejection-sampled clear of
@@ -232,13 +233,29 @@ def env_randomized_clutter(n_obstacles: int = 5,
         stuck arm's goal; a genuine joint solve resamples both. The old
         joint resample threw away the healthy arm's goal (and its
         progress) every time the other arm timed out."""
-    from rmp_tpu.envs.franka import _obstacle_policies
+    from rmp_tpu.envs.franka import _obstacle_policies, bucket_capacity
     from rmp_tpu.sim import randomizer as rnd
-    from rmp_tpu.sim.data import distance_context
+    from rmp_tpu.sim.data import PAIRS_KEY, distance_context
+
+    if obstacle_capacity == "auto":
+        obstacle_capacity = bucket_capacity(n_obstacles)
 
     model = robots.dual_panda(separation=0.9)
     q_ready = robots.dual_panda_q_ready(model)
     inter_arm, left, pairs = _inter_arm_policies(model)
+
+    # PER-ARM obstacle avoidance (r5, VERDICT r4 #6): the round-4 GLOBAL
+    # grouped policy spanned both arms, so the final-push relax lowered the
+    # obstacle barrier for the NON-pushing arm too — the documented source
+    # of the 0.68% > 0.5% penetration. Two grouped policies (one per arm's
+    # collision frames, ctx rows sliced per arm in context_fn) make the
+    # relax strictly per-arm.
+    arm_rows = {p: [i for i, f in enumerate(model.collision_frames)
+                    if model.frame_names[f].startswith(p)]
+                for p in ("L_", "R_")}
+    arm_frames = {p: [model.collision_frames[i] for i in arm_rows[p]]
+                  for p in ("L_", "R_")}
+    PAIRS_ARM = {"L_": "__pairs_L__", "R_": "__pairs_R__"}
 
     # per-arm attractor gains from the franka randomized retune
     # (sweep_randomized.py: transit needs p≈2.5 / d≈1.5 and a cap above the
@@ -262,13 +279,26 @@ def env_randomized_clutter(n_obstacles: int = 5,
         v2.cspace_biasing(goal=q_ready, metric_scalar=0.005, position_gain=1,
                           damping_gain=2, robust_position_term_thresh=0.5,
                           inertia=0.0001),
-    ] + _obstacle_policies(model) + inter_arm)
+    ] + _obstacle_policies(model, frames=arm_frames["L_"],
+                           name="collision_avoidance_L",
+                           ctx_key=PAIRS_ARM["L_"])
+      + _obstacle_policies(model, frames=arm_frames["R_"],
+                           name="collision_avoidance_R",
+                           ctx_key=PAIRS_ARM["R_"])
+      + inter_arm)
 
     def context_fn(model_, sim, T_all=None):
         if T_all is None:
             T_all = K.fk_all(model_, sim.q)
         ctx = distance_context(model_, T_all, sim.obstacles,
                                geometry=env.collision_geometry)
+        # per-arm row slices of the stacked (L, K, ...) pair context for
+        # the split grouped policies (static index lists -> trace-time
+        # gathers; L is small)
+        for p in ("L_", "R_"):
+            rows = jnp.asarray(arm_rows[p])
+            ctx[PAIRS_ARM[p]] = {k: v[rows]
+                                 for k, v in ctx[PAIRS_KEY].items()}
         ctx.update(_inter_arm_ctx(model_, T_all, left, pairs,
                                   env.collision_geometry == "hull"))
         return ctx
@@ -279,6 +309,7 @@ def env_randomized_clutter(n_obstacles: int = 5,
     # Knobs live in EnvState.scratch["cfg"] as TRACED per-env scalars so
     # sweeps override them after reset without recompiling (same
     # one-compile pattern as franka/randomized_cluttered's escape cfg).
+    # Shared substrate + unified knob vocabulary: envs/maneuver.py (r5).
     CFG = dict(
         man_first_only=1.0,  # maneuvers only before the first goal event
         #                      (franka lesson: escapes on keep-busy goals
@@ -298,7 +329,7 @@ def env_randomized_clutter(n_obstacles: int = 5,
         #                     maneuvers reset the stall window, so without
         #                     this the reassignment that rescues OVERALL
         #                     success gets pushed out by hundreds of ticks)
-        budget=2.0,         # maneuvers per arm per goal; then timeout rules
+        man_budget=2.0,     # maneuvers per arm per goal; then timeout rules
         hold_tol=0.035,     # arms parked within this of goal never stall.
         #                     Must sit just ABOVE solved_tol (0.03): wider
         #                     values let an arm park at 3.5-4.5 cm where it
@@ -312,10 +343,14 @@ def env_randomized_clutter(n_obstacles: int = 5,
         push_trigger=20.0,  # final-push boost (franka pattern): stalled
         push_near=0.08,     # close to the goal -> scale the arm's
         push_boost=3.0,     # attractor gains to shift the equilibrium in
-        push_relax=2.0,     # divide the grouped obstacle policy's
-        #                     repulsion_gain/metric_scalar by this while
-        #                     EITHER arm pushes (the policy spans both
-        #                     arms, so relax is necessarily global)
+        push_relax=2.0,     # divide the pushing arm's obstacle policy's
+        #                     repulsion_gain/metric_scalar by this (r5:
+        #                     the policy is SPLIT per arm, so the relax
+        #                     is per-arm — the round-4 global relax was
+        #                     the documented penetration source)
+        push_relax_global=0.0,  # 1: round-4 behavior — EITHER arm's push
+        #                     relaxes BOTH arms' obstacle policies
+        #                     (paired-comparison baseline)
         push_relax_metric=0.0,  # 1: relax the metric_scalar ONLY, keep
         #                     repulsion_gain full force (blend weight
         #                     yields, the barrier stays — penetration
@@ -349,8 +384,7 @@ def env_randomized_clutter(n_obstacles: int = 5,
                     wp=jnp.zeros((2, 3), jnp.float32),
                     noprog=z2, best=jnp.full(2, jnp.inf, jnp.float32),
                     d=jnp.full(2, jnp.inf, jnp.float32),
-                    cfg={k: jnp.asarray(v, jnp.float32)
-                         for k, v in CFG.items()})
+                    cfg=mv.cfg_scratch(CFG))
 
     def bind_params(params, sim, pols, state):
         sc = state.scratch
@@ -359,8 +393,7 @@ def env_randomized_clutter(n_obstacles: int = 5,
         eff = jnp.where(maneuvering[:, None], sc["wp"], sim.goal)
         # per-arm final-push boost (franka/randomized_cluttered pattern:
         # near-miss stalls are force equilibria just outside tolerance)
-        push = (~maneuvering & (sc["noprog"] >= cfg["push_trigger"])
-                & (sc["best"] < cfg["push_near"])
+        push = (~maneuvering & mv.push_engaged(cfg, sc["noprog"], sc["best"])
                 & ((cfg["push_first_only"] < 0.5) | (state.phase == 0)))
         boost = jnp.where(push, cfg["push_boost"], 1.0)          # (2,)
         # hold-assist: pin an arm that is AT its goal while the other
@@ -368,34 +401,30 @@ def env_randomized_clutter(n_obstacles: int = 5,
         hold = sc["d"] < cfg["hold_radius"]                      # (2,)
         hboost = jnp.where(hold, cfg["hold_boost"], 1.0)
         boost = boost * hboost
-        relax = jnp.where(jnp.any(push), cfg["push_relax"], 1.0)
+        # PER-ARM relax (the policy is split per arm): only the pushing
+        # arm's barrier yields; push_relax_global=1 restores the round-4
+        # global behavior for paired comparison
+        push_any = jnp.where(cfg["push_relax_global"] > 0.5,
+                             jnp.broadcast_to(jnp.any(push), (2,)), push)
+        relax = jnp.where(push_any, cfg["push_relax"], 1.0)      # (2,)
         # metric-only mode: the blend weight yields, the barrier force
         # stays at full strength (penetration control)
-        relax_rep = jnp.where(cfg["push_relax_metric"] > 0.5, 1.0, relax)
+        relax_rep = jnp.where(cfg["push_relax_metric"] > 0.5,
+                              jnp.ones_like(relax), relax)
         out = []
         for p, prm in zip(pols, params):
-            if p.name == "collision_avoidance":
-                prm = dict(prm,
-                           repulsion_gain=prm["repulsion_gain"] / relax_rep,
-                           metric_scalar=prm["metric_scalar"] / relax)
+            if p.name == "collision_avoidance_L":
+                prm = mv.relaxed_obstacle(prm, relax_rep[0], relax[0])
+            elif p.name == "collision_avoidance_R":
+                prm = mv.relaxed_obstacle(prm, relax_rep[1], relax[1])
             elif p.name == "attractor_L":
-                prm = dict(prm, goal=eff[0],
-                           accel_p_gain=prm["accel_p_gain"] * boost[0],
-                           accel_d_gain=prm["accel_d_gain"]
-                           * jnp.sqrt(boost[0]),
-                           max_metric_scalar=prm["max_metric_scalar"]
-                           * hboost[0],
-                           min_metric_scalar=prm["min_metric_scalar"]
-                           * hboost[0])
+                prm = mv.scaled_attractor(prm, goal=eff[0],
+                                          gain_boost=boost[0],
+                                          metric_scale=hboost[0])
             elif p.name == "attractor_R":
-                prm = dict(prm, goal=eff[1],
-                           accel_p_gain=prm["accel_p_gain"] * boost[1],
-                           accel_d_gain=prm["accel_d_gain"]
-                           * jnp.sqrt(boost[1]),
-                           max_metric_scalar=prm["max_metric_scalar"]
-                           * hboost[1],
-                           min_metric_scalar=prm["min_metric_scalar"]
-                           * hboost[1])
+                prm = mv.scaled_attractor(prm, goal=eff[1],
+                                          gain_boost=boost[1],
+                                          metric_scale=hboost[1])
             out.append(prm)
         return tuple(out)
 
@@ -413,8 +442,8 @@ def env_randomized_clutter(n_obstacles: int = 5,
         noprog = jnp.where((d < cfg["hold_tol"]) | improved, 0,
                            sc["noprog"] + 1)
 
-        free = ((sc["man_ticks"] == 0) & (sc["man_count"] < cfg["budget"])
-                & ((cfg["man_first_only"] < 0.5) | (state.phase == 0)))
+        free = mv.budget_free(cfg, sc["man_ticks"], sc["man_count"],
+                              state.phase)
         contested = (jnp.linalg.norm(ee[0] - ee[1])
                      < cfg["yield_radius"])
         stalled_y = noprog >= cfg["yield_trigger"]
@@ -432,22 +461,8 @@ def env_randomized_clutter(n_obstacles: int = 5,
         # scored candidates per arm (franka round-5 creation pattern):
         # station, straight lift, own-side +-y slides — best clearance
         # (capped at 12 cm, vs obstacles AND the other arm's EE) minus
-        # goal-detour distance
+        # goal-detour distance (maneuver.score_candidates)
         obs = state.sim.obstacles
-        seg = obs.p1 - obs.p0
-        seg_len2 = jnp.einsum("kc,kc->k", seg, seg)
-
-        def clearance(p, other_ee):
-            t_seg = jnp.clip(
-                jnp.einsum("kc,kc->k", p[None] - obs.p0, seg)
-                / (seg_len2 + 1e-12), 0.0, 1.0)
-            foot = obs.p0 + t_seg[:, None] * seg
-            dd = jnp.linalg.norm(p[None] - foot, axis=-1) - obs.radius
-            out = jnp.linalg.norm(p - other_ee) - 0.10
-            for i in range(dd.shape[0]):
-                out = jnp.minimum(out, dd[i])
-            return out
-
         side_y = (0.30, -0.30)                               # own halves
         best_per_arm = []
         for a in (0, 1):
@@ -457,46 +472,37 @@ def env_randomized_clutter(n_obstacles: int = 5,
                                          jnp.float32),
                      ee[a] + jnp.asarray([-0.15, side_y[a], 0.20],
                                          jnp.float32))
-            best_c = cands[0]
-            best_s = -jnp.inf
-            for c in cands:
-                s = (jnp.minimum(clearance(c, ee[1 - a]), 0.12)
-                     - 0.35 * jnp.linalg.norm(c - state.sim.goal[a]))
-                take = s > best_s
-                best_c = jnp.where(take, c, best_c)
-                best_s = jnp.maximum(best_s, s)
+            best_c, _ = mv.score_candidates(
+                cands, state.sim.goal[a],
+                lambda c: mv.point_clearance(
+                    obs, c, seed=jnp.linalg.norm(c - ee[1 - a]) - 0.10))
             best_per_arm.append(best_c)
         wp_new = jnp.where(cfg["man_scored"] > 0.5,
                            jnp.stack(best_per_arm), wp_station)
         any_t = jnp.any(trigger)
 
-        # end-on-arrival: a maneuver that reached its waypoint has done
-        # its job — resume the goal chase instead of parking out the timer
-        arrived = ((sc["man_ticks"] > 0) & (cfg["man_arrive"] > 0.5)
-                   & (jnp.linalg.norm(ee - sc["wp"], axis=-1) < 0.08))
-        ticks_dec = jnp.where(arrived, 0,
-                              jnp.maximum(sc["man_ticks"] - 1, 0))
-        ticks_next = jnp.where(trigger, cfg["man_ticks"].astype(jnp.int32),
-                               ticks_dec)
+        ticks_next, count_next, wp_next = mv.maneuver_timers(
+            cfg, sc["man_ticks"], sc["man_count"], trigger, ee, sc["wp"],
+            wp_new, arrive_tol=0.08)
         scratch = dict(
             sc,
             man_ticks=ticks_next,
-            man_count=sc["man_count"] + trigger.astype(jnp.int32),
-            wp=jnp.where(trigger[:, None], wp_new, sc["wp"]),
+            man_count=count_next,
+            wp=wp_next,
             # freeze the stalled-arm window during its maneuver (the
             # outbound leg can't improve the true-goal distance; letting
             # it count would spend the retry budget on transit)
             noprog=jnp.where(trigger | (ticks_next > 0), 0, noprog),
             best=jnp.where(trigger, jnp.inf, best),
             d=d)
+        # keep the GLOBAL window (the backstop timeout below) from firing
+        # mid-maneuver
+        no_progress, goal_best = mv.freeze_progress(
+            state, any_t, jnp.any(ticks_next > 0))
         return dataclasses.replace(
             state, scratch=scratch,
             key=jnp.where(any_t, k, state.key),
-            # keep the GLOBAL window (the backstop timeout below) from
-            # firing mid-maneuver
-            no_progress=jnp.where(any_t | jnp.any(ticks_next > 0), 0,
-                                  state.no_progress),
-            goal_best=jnp.where(any_t, jnp.inf, state.goal_best))
+            no_progress=no_progress, goal_best=goal_best)
 
     def arm_distances(sim):
         eL = K.fk_frame(model, sim.q, iL)[:3, 3]
@@ -577,12 +583,8 @@ def env_randomized_clutter(n_obstacles: int = 5,
 
     def _arm_timeout(sc):
         # per-arm window: the full timeout while maneuvers remain, the
-        # fast one once the arm's budget is spent (budget=0 = disabled
-        # maneuvers, never counts as spent)
-        spent = (sc["cfg"]["budget"] > 0) & (sc["man_count"]
-                                             >= sc["cfg"]["budget"])
-        return jnp.where(spent, sc["cfg"]["timeout_spent"],
-                         sc["cfg"]["timeout"])
+        # fast one once the arm's budget is spent (maneuver.spent_timeout)
+        return mv.spent_timeout(sc["cfg"], sc["man_count"])
 
     def stuck_fn(state: EnvState):
         sc = state.scratch

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rmp_tpu import taskmaps as tm
+from rmp_tpu.envs import maneuver as mv
 from rmp_tpu.envs.base import (Env, EnvState, bind_goal, env_state,
                                take_row)
 from rmp_tpu.models import kinematics as K
@@ -80,7 +81,9 @@ def _v2_policy_stack(model, goal, attractor_p_gain, attractor_d_gain,
     return policies
 
 
-def _obstacle_policies(model, grouped: bool = True):
+def _obstacle_policies(model, grouped: bool = True, frames=None,
+                       name: str = "collision_avoidance",
+                       ctx_key: str | None = None):
     """ObstacleAvoidance over every collision frame on FK∘distance chains
     (05_obstacle_avoidance.py:69-92).
 
@@ -89,6 +92,11 @@ def _obstacle_policies(model, grouped: bool = True):
     per-frame policy list (the pullback sums over pairs either way) but
     emits a single fused computation. grouped=False reproduces the
     reference's per-frame policy structure.
+
+    frames/name/ctx_key: optional collision-frame SUBSET for the grouped
+    policy (dual_panda splits obstacle avoidance per arm so the push
+    relax applies only to the pushing arm, envs/dual.py) — the context
+    entry under ctx_key must then carry that subset's (L', K, ...) rows.
     """
     kw = dict(margin=0.0, damping_gain=50, damping_std_dev=0.04,
               damping_robustness_eps=0.01,
@@ -99,11 +107,11 @@ def _obstacle_policies(model, grouped: bool = True):
     if grouped:
         from rmp_tpu.sim.data import PAIRS_KEY
         taskmap = tm.chain(
-            tm.multi_fk_frames(model, model.collision_frames),
+            tm.multi_fk_frames(model, model.collision_frames
+                               if frames is None else frames),
             tm.frames_to_point_distance())
-        pol = v2.obstacle_avoidance(taskmap=taskmap,
-                                    name="collision_avoidance", **kw)
-        pol.ctx_key = PAIRS_KEY
+        pol = v2.obstacle_avoidance(taskmap=taskmap, name=name, **kw)
+        pol.ctx_key = PAIRS_KEY if ctx_key is None else ctx_key
         return [pol]
     out = []
     for i in model.collision_frames:
@@ -336,8 +344,20 @@ def env_pose_target() -> Env:
                solved_tol=0.03)
 
 
+def bucket_capacity(n: int, buckets=(8, 16)) -> int:
+    """Smallest standard capacity bucket holding n obstacles (VERDICT r4
+    #8): randomized envs pad every scene to a bucket by DEFAULT, so
+    interactive scene edits and sweeps over obstacle counts (within one
+    bucket) share a single compiled program end-to-end — the reference
+    Datamanager's no-retrace property (data_management.py:8-17)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return n
+
+
 def env_randomized_cluttered(n_obstacles: int = 7,
-                             obstacle_capacity: int | None = None) -> Env:
+                             obstacle_capacity: int | None = "auto") -> Env:
     """Domain-randomized cluttered scenes: every env draws its own obstacle
     set, initial robot jitter, and goal from the reference's randomization
     spaces (simulation.py:494-548) — obstacle poses/sizes are traced state,
@@ -346,23 +366,26 @@ def env_randomized_cluttered(n_obstacles: int = 7,
     obstacle_capacity: pad every scene to this fixed K with inert far
     obstacles (sim/collision.pad_obstacles) so instances of this env built
     with DIFFERENT n_obstacles (within one capacity) share a jit cache
-    entry — the reference Datamanager's no-retrace property. None (default)
-    keeps K = n_obstacles.
+    entry — the reference Datamanager's no-retrace property. "auto"
+    (default, r5) picks the 8/16 bucket holding n_obstacles; None keeps
+    K = n_obstacles (the pre-r5 exact-shape behavior).
 
     STUCK-ESCAPE MANEUVER (in-graph, per env): reactive RMPs have local
     minima, and the only pre-r4 escape was the 80-tick goal-timeout
     resample — which by definition can't rescue the FIRST goal (22% of
     first goals were lost this way, reports/eval_randomized.json). Now,
     after ESC_TRIGGER ticks without progress the attractor is bound to a
-    DETOUR waypoint for ESC_TICKS: retreat from the goal plus a random
+    DETOUR waypoint for MAN_TICKS: retreat from the goal plus a random
     tangential offset, re-approaching from a different side each attempt
     (independent retry chances, keyed off the env's PRNG). sim.goal is
     never touched — the solved predicate and first-goal accounting stay
-    exact; after ESC_BUDGET failed escapes the goal timeout remains the
+    exact; after MAN_BUDGET failed escapes the goal timeout remains the
     last resort. Trigger resets goal_best so genuine re-approach progress
     is measured from scratch."""
     from rmp_tpu.sim import randomizer as rnd
 
+    if obstacle_capacity == "auto":
+        obstacle_capacity = bucket_capacity(n_obstacles)
     model = MODEL()
     ee_idx = model.frame_index(EE)
 
@@ -371,10 +394,14 @@ def env_randomized_cluttered(n_obstacles: int = 7,
     # so sweeps override cfg leaves after reset — even with DIFFERENT
     # configs across envs of one batch — without recompiling (the same
     # one-compile property sweep_randomized.py exploits for gains).
+    # Shared substrate + unified knob vocabulary: envs/maneuver.py (r5).
     CFG = dict(
         esc_trigger=35.0,  # no-progress ticks before a detour fires
-        esc_ticks=22.0,    # detour duration (counter frozen meanwhile)
-        esc_budget=2.0,    # detours; FIRST GOAL ONLY (pre_tick docstring)
+        man_ticks=22.0,    # detour duration (counter frozen meanwhile)
+        man_budget=2.0,    # detours; FIRST GOAL ONLY by default (below)
+        man_first_only=1.0,  # maneuvers only before the first goal event
+        #                    (escapes on keep-busy goals paired-measured
+        #                    net-negative: overall 92.9% -> 84%)
         esc_back=0.15,     # m, retreat component (away from the goal)
         esc_side=0.30,     # m, sideways component (new approach side)
         esc_axis1=1.0,     # detour 1 slides along the blocking cylinder's
@@ -383,17 +410,25 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         #                    candidates (+-obstacle axis, +-random tangent)
         #                    on clearance-at-waypoint minus goal detour;
         #                    0: the guessed direction (axis toward goal)
-        esc_arrive=1.0,    # 1: end a detour as soon as the EE reaches the
+        man_arrive=1.0,    # 1: end a detour as soon as the EE reaches the
         #                    waypoint (within 6 cm) instead of parking out
         #                    the timer
         esc_cspace=1.0,    # scale the cspace_target policy's metric and
-        #                    position gain by this DURING detours (re-pose
-        #                    the arm toward q_ready while the EE detours).
-        #                    Paired-measured MONOTONICALLY WORSE (x5:
+        #                    position gain by this DURING detours.
+        #                    Toward q_ready (esc_qspace=0) this was
+        #                    paired-measured MONOTONICALLY WORSE (x5:
         #                    83.5->83.5, x20: 80.0, x60: 78.8 first-goal)
         #                    — the ready-pose pull fights the detour
-        #                    waypoint. Ships off; knob kept as the
-        #                    documented negative result.
+        #                    waypoint. r5: esc_qspace=1 re-aims it at an
+        #                    IK solution CONSISTENT with the waypoint.
+        esc_qspace=0.0,    # 1: during a detour, bind the cspace policy's
+        #                    goal to a DLS-IK configuration whose EE sits
+        #                    at the detour waypoint (computed at trigger,
+        #                    scratch["q_wp"]) — re-poses elbow/shoulder
+        #                    instead of pulling toward q_ready. Attacks
+        #                    the 58% of residual failures that are >=10cm
+        #                    WEDGED CONFIGURATIONS EE-space detours can't
+        #                    unwedge (VERDICT r4 #2).
         esc_gate=999.0,    # m: detour only when the env has already been
         #                    this close. Paired-swept: every gate value
         #                    (0.15/0.20/0.25) traded ~1.5 first-goal pts
@@ -431,35 +466,57 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         #                    goal region is sampled >=5 cm clear, so
         #                    trusting it briefly is safe (penetration
         #                    tracked by the sweep).
+        push_relax_metric=0.0,  # 1: relax the metric_scalar ONLY, keep
+        #                    repulsion_gain at full force (blend weight
+        #                    yields, the barrier stays — penetration
+        #                    control, dual_panda pattern).
     )
     _WS_LO = np.asarray([-0.85, -0.85, 0.15], np.float32)
     _WS_HI = np.asarray([0.85, 0.85, 0.95], np.float32)
 
     def init_scratch():
         zero = jnp.zeros((), jnp.int32)
-        return dict(esc_ticks=zero, esc_count=zero,
-                    esc_wp=jnp.zeros(3, jnp.float32),
+        return dict(man_ticks=zero, man_count=zero,
+                    wp=jnp.zeros(3, jnp.float32),
+                    q_wp=jnp.asarray(Q_READY, jnp.float32),
                     push_on=jnp.zeros((), jnp.bool_),
-                    cfg={k: jnp.asarray(v, jnp.float32)
-                         for k, v in CFG.items()})
+                    cfg=mv.cfg_scratch(CFG))
+
+    def _ik_toward(q, target):
+        """Few-step position-only DLS from q toward EE-at-target: the
+        detour's CONFIGURATION waypoint. Starting at the wedged q keeps
+        the solution on this env's branch of the redundancy (the full
+        200-iteration solver in models/ik.py is built for cold starts);
+        8 steps reach ~mm on a 30 cm move and the result only steers a
+        low-gain c-space bias, not the EE tracking itself."""
+        def err(qq):
+            return target - K.fk_frame(model, qq, ee_idx)[:3, 3]
+
+        def body(_, qq):
+            e = err(qq)
+            J = jax.jacfwd(err)(qq)                    # (3, n), J = -dfk/dq
+            A = J @ J.T + 1e-4 * jnp.eye(3, dtype=jnp.float32)
+            qq = qq - 0.5 * (J.T @ jnp.linalg.solve(A, e))
+            return jnp.clip(qq, jnp.asarray(model.q_lower),
+                            jnp.asarray(model.q_upper))
+        return jax.lax.fori_loop(0, 8, body, q)
 
     def pre_tick(state: EnvState) -> EnvState:
-        """Escape trigger + waypoint choice. FIRST GOAL ONLY (phase == 0,
-        i.e. no goal event yet): escapes trade horizon time for rescue
-        chances, which is the right trade for the env's primary goal but
-        measured NET-NEGATIVE for the keep-busy goals after a timeout
-        resample (escapes on every goal: overall success 92.9% -> 84%,
-        the delayed resamples cost more later-goal solves than the
-        escapes rescued). Detour 1 slides ALONG the blocking cylinder's
-        axis (the shortest way around a cylinder; sign toward the goal),
-        detour 2 retries with a random tangent."""
+        """Escape trigger + waypoint choice. FIRST GOAL ONLY by default
+        (man_first_only): escapes trade horizon time for rescue chances,
+        which is the right trade for the env's primary goal but measured
+        NET-NEGATIVE for the keep-busy goals after a timeout resample
+        (escapes on every goal: overall success 92.9% -> 84%, the delayed
+        resamples cost more later-goal solves than the escapes rescued).
+        Detour 1 slides ALONG the blocking cylinder's axis (the shortest
+        way around a cylinder; sign toward the goal), detour 2 retries
+        with a random tangent. Substrate: envs/maneuver.py."""
         sc = state.scratch
         cfg = sc["cfg"]
         trigger = ((state.no_progress >= cfg["esc_trigger"])
-                   & (sc["esc_ticks"] == 0)
-                   & (sc["esc_count"] < cfg["esc_budget"])
                    & (state.goal_best < cfg["esc_gate"])
-                   & (state.phase == 0))
+                   & mv.budget_free(cfg, sc["man_ticks"], sc["man_count"],
+                                    state.phase))
         k, sub = jax.random.split(state.key)
         ee = K.fk_frame(model, state.sim.q, ee_idx)[:3, 3]
         to_goal = state.sim.goal - ee
@@ -473,18 +530,6 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         obs = state.sim.obstacles
         seg = obs.p1 - obs.p0                                  # (K, 3)
         seg_len2 = jnp.einsum("kc,kc->k", seg, seg)
-
-        def point_clearance(p):
-            t_seg = jnp.clip(
-                jnp.einsum("kc,kc->k", p[None] - obs.p0, seg)
-                / (seg_len2 + 1e-12), 0.0, 1.0)
-            foot = obs.p0 + t_seg[:, None] * seg
-            d = jnp.linalg.norm(p[None] - foot, axis=-1) - obs.radius
-            out = d[0]
-            for k in range(1, d.shape[0]):      # where-chain min
-                out = jnp.minimum(out, d[k])
-            return out
-
         t_seg = jnp.clip(
             jnp.einsum("kc,kc->k", ee[None] - obs.p0, seg)
             / (seg_len2 + 1e-12), 0.0, 1.0)
@@ -497,22 +542,14 @@ def env_randomized_cluttered(n_obstacles: int = 7,
 
         # SCORED candidate waypoints (cfg esc_cand=1) instead of guessed
         # direction: 4 candidates, each scored by clearance at the
-        # waypoint (capped — beyond 12 cm more clearance stops mattering)
-        # minus how much farther from the goal it moves. A detour INTO
-        # another obstacle or straight away from the goal never scored.
-        cands = []
-        for s_dir in (axis, -axis, tang, -tang):
-            cands.append(jnp.clip(
-                ee + cfg["esc_back"] * away + cfg["esc_side"] * s_dir,
-                jnp.asarray(_WS_LO), jnp.asarray(_WS_HI)))
-        best_wp = cands[0]
-        best_score = -jnp.inf
-        for c in cands:
-            score = (jnp.minimum(point_clearance(c), 0.12)
-                     - 0.35 * jnp.linalg.norm(c - state.sim.goal))
-            take = score > best_score
-            best_wp = jnp.where(take, c, best_wp)
-            best_score = jnp.maximum(best_score, score)
+        # waypoint minus how much farther from the goal it moves
+        # (maneuver.score_candidates).
+        cands = [jnp.clip(
+            ee + cfg["esc_back"] * away + cfg["esc_side"] * s_dir,
+            jnp.asarray(_WS_LO), jnp.asarray(_WS_HI))
+            for s_dir in (axis, -axis, tang, -tang)]
+        best_wp, _ = mv.score_candidates(
+            cands, state.sim.goal, lambda c: mv.point_clearance(obs, c))
 
         # legacy guessed direction (esc_cand=0): axis slide signed toward
         # the goal on detour 1, random tangent on retries
@@ -520,47 +557,38 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         sign = jnp.where(jnp.abs(adot) < 0.05,
                          jnp.sign(v[0]) + (v[0] == 0), jnp.sign(adot))
         slide = sign * axis
-        side = jnp.where((sc["esc_count"] == 0) & (cfg["esc_axis1"] > 0.5),
+        side = jnp.where((sc["man_count"] == 0) & (cfg["esc_axis1"] > 0.5),
                          slide, tang)
         wp_legacy = jnp.clip(
             ee + cfg["esc_back"] * away + cfg["esc_side"] * side,
             jnp.asarray(_WS_LO), jnp.asarray(_WS_HI))
         wp = jnp.where(cfg["esc_cand"] > 0.5, best_wp, wp_legacy)
 
-        # early arrival: a detour that reached its waypoint has done its
-        # job — resume the goal chase instead of parking out the timer
-        arrived = ((sc["esc_ticks"] > 0)
-                   & (jnp.linalg.norm(ee - sc["esc_wp"]) < 0.06)
-                   & (cfg["esc_arrive"] > 0.5))
-        ticks_dec = jnp.where(arrived, 0,
-                              jnp.maximum(sc["esc_ticks"] - 1, 0))
-        ticks_next = jnp.where(trigger, cfg["esc_ticks"].astype(jnp.int32),
-                               ticks_dec)
+        ticks_next, count_next, wp_next = mv.maneuver_timers(
+            cfg, sc["man_ticks"], sc["man_count"], trigger, ee, sc["wp"],
+            wp, arrive_tol=0.06)
+        # configuration waypoint: an IK re-pose consistent WITH the detour
+        # waypoint (the failed esc_cspace variant pulled toward q_ready,
+        # which fights it). Computed every tick (branchless under vmap),
+        # consumed only when esc_qspace binds it during a detour.
+        q_wp = jnp.where(trigger, _ik_toward(state.sim.q, wp), sc["q_wp"])
         # push latch: engage on a near-goal stall; release on a detour
         # (the waypoint chase must run at normal gains) or after wandering
         # far from the goal (post-detour re-approach starts clean)
-        engage = ((state.no_progress >= cfg["push_trigger"])
-                  & (state.goal_best < cfg["push_near"]))
+        engage = mv.push_engaged(cfg, state.no_progress, state.goal_best)
         push_on = jnp.where(
             cfg["push_latch"] > 0.5,
             (sc["push_on"] | engage) & ~trigger
             & (jnp.linalg.norm(to_goal) < 4.0 * cfg["push_near"]),
             engage)
-        scratch = dict(
-            sc,
-            esc_ticks=ticks_next,
-            esc_count=sc["esc_count"] + trigger.astype(jnp.int32),
-            esc_wp=jnp.where(trigger, wp, sc["esc_wp"]),
-            push_on=push_on)
+        scratch = dict(sc, man_ticks=ticks_next, man_count=count_next,
+                       wp=wp_next, q_wp=q_wp, push_on=push_on)
+        no_progress, goal_best = mv.freeze_progress(state, trigger,
+                                                    ticks_next > 0)
         return dataclasses.replace(
             state, scratch=scratch,
             key=jnp.where(trigger, k, state.key),
-            # freeze the window during the detour: the outbound leg can't
-            # improve the true-goal distance by construction, and letting
-            # it count would spend the whole retry budget on transit
-            no_progress=jnp.where(trigger | (ticks_next > 0), 0,
-                                  state.no_progress),
-            goal_best=jnp.where(trigger, jnp.inf, state.goal_best))
+            no_progress=no_progress, goal_best=goal_best)
 
     def bind(params, sim, pols, state):
         # state-aware goal binding: during a detour the ATTRACTOR chases
@@ -568,30 +596,28 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         # near-miss stalls engage the final-push gain boost instead
         sc = state.scratch
         cfg = sc["cfg"]
-        escaping = sc["esc_ticks"] > 0
-        goal = jnp.where(escaping, sc["esc_wp"], sim.goal)
+        escaping = sc["man_ticks"] > 0
+        goal = jnp.where(escaping, sc["wp"], sim.goal)
         push = ~escaping & sc["push_on"]
         boost = jnp.where(push, cfg["push_boost"], 1.0)
         mscale = jnp.where(push, cfg["push_metric"], 1.0)
         relax = jnp.where(push, cfg["push_relax"], 1.0)
+        # metric-only mode: the blend weight yields, the barrier force
+        # stays at full strength (penetration control)
+        relax_rep = jnp.where(cfg["push_relax_metric"] > 0.5, 1.0, relax)
         out = []
         for p, prm in zip(pols, params):
             if p.name == "attractor":
-                prm = dict(prm, goal=goal,
-                           accel_p_gain=prm["accel_p_gain"] * boost,
-                           accel_d_gain=prm["accel_d_gain"]
-                           * jnp.sqrt(boost),
-                           max_metric_scalar=prm["max_metric_scalar"]
-                           * mscale,
-                           min_metric_scalar=prm["min_metric_scalar"]
-                           * mscale)
+                prm = mv.scaled_attractor(prm, goal=goal, gain_boost=boost,
+                                          metric_scale=mscale)
             elif p.name == "collision_avoidance":
-                prm = dict(prm,
-                           repulsion_gain=prm["repulsion_gain"] / relax,
-                           metric_scalar=prm["metric_scalar"] / relax)
+                prm = mv.relaxed_obstacle(prm, relax_rep, relax)
             elif p.name == "cspace_target":
                 cspace = jnp.where(escaping, cfg["esc_cspace"], 1.0)
-                prm = dict(prm,
+                qgoal = jnp.where(escaping & (cfg["esc_qspace"] > 0.5),
+                                  sc["q_wp"], jnp.asarray(prm["goal"],
+                                                          jnp.float32))
+                prm = dict(prm, goal=qgoal,
                            metric_scalar=prm["metric_scalar"] * cspace,
                            position_gain=prm["position_gain"] * cspace)
             out.append(prm)
@@ -618,7 +644,7 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         goal = rnd.randomize_goal(sub, obstacles=state.sim.obstacles)
         sim = dataclasses.replace(state.sim, goal=goal)
         zero = jnp.zeros((), jnp.int32)
-        scratch = dict(state.scratch, esc_ticks=zero, esc_count=zero,
+        scratch = dict(state.scratch, man_ticks=zero, man_count=zero,
                        push_on=jnp.zeros((), jnp.bool_))
         return dataclasses.replace(state, sim=sim, key=k, phase=state.steps,
                                    scratch=scratch)
@@ -633,13 +659,9 @@ def env_randomized_cluttered(n_obstacles: int = 7,
     # progressing envs the way a pure elapsed-time timeout measured to
     # (-9 points at 300-tick horizons).
     def stuck_fn(state: EnvState):
-        cfg = state.scratch["cfg"]
-        # spent = the escape budget was USED UP (esc_budget=0 disables
-        # escapes entirely and must not count as pre-spent)
-        spent = ((cfg["esc_budget"] > 0)
-                 & (state.scratch["esc_count"] >= cfg["esc_budget"]))
-        return state.no_progress >= jnp.where(spent, cfg["timeout_spent"],
-                                              cfg["timeout"])
+        return (state.no_progress
+                >= mv.spent_timeout(state.scratch["cfg"],
+                                    state.scratch["man_count"]))
 
     def reset(key):
         k_obs, k_robot, k_goal, k_carry = jax.random.split(key, 4)

@@ -456,6 +456,26 @@ def robot_obstacle_distances_hull_batched(model: KinematicModel,
     d0 = jnp.where(degenerate, d0_centroid, d0_cap)       # (B, L, K, 3)
     if warm is not None:
         live = jnp.sum(warm * warm, axis=-1, keepdims=True) > 1e-10
+        # STALENESS GUARD (r5): a previous-tick witness is a near-converged
+        # start only while the scene moved ~mm since; on fast-motion envs
+        # (randomized_cluttered transits at ~10x the flagship's joint
+        # velocity) a stale carry left multi-cm distance errors at the warm
+        # iteration count (reports/gjk_warm_accuracy.json, r5 probe). The
+        # guard compares the carry against the CURRENT capsule witness —
+        # already computed for the broad phase, so it costs one dot product
+        # — and falls back to that fresh geometric start when they disagree
+        # by more than ~25 deg. Slow scenes keep the carry (directions
+        # agree), so the flagship bench path is unchanged.
+        import os
+        stale_cos = float(os.environ.get("RMP_GJK_STALE_COS", "0.9"))
+        if stale_cos > 0.0:
+            wn = warm * jax.lax.rsqrt(
+                jnp.sum(warm * warm, axis=-1, keepdims=True) + 1e-12)
+            cn = d0 * jax.lax.rsqrt(
+                jnp.sum(d0 * d0, axis=-1, keepdims=True) + 1e-12)
+            aligned = jnp.sum(wn * cn, axis=-1,
+                              keepdims=True) > stale_cos
+            live = live & aligned
         d0 = jnp.where(live, warm, d0)
 
     B = T_all_b.shape[0]

@@ -612,7 +612,7 @@ def test_obstacle_capacity_bucketing_no_retrace():
 
     # numeric equivalence: the same 5-obstacle scene unpadded (its own
     # program) commands the same qdd as the padded one
-    env_u = franka.env_randomized_cluttered(5)
+    env_u = franka.env_randomized_cluttered(5, obstacle_capacity=None)
     s5u = env_u.reset(jax.random.PRNGKey(0))
     assert s5u.sim.obstacles.count == 5
     _, aux_u = jax.jit(make_control_step(env_u))(s5u, env_u.gather_params())
@@ -659,12 +659,12 @@ def test_franka_escape_trigger_budget_and_detour_binding():
     # resets so the retry is measured from scratch
     s = _franka_stalled_state(env)
     out = env.pre_tick(s)
-    assert int(out.scratch["esc_ticks"]) == int(s.scratch["cfg"]["esc_ticks"])
-    assert int(out.scratch["esc_count"]) == 1
+    assert int(out.scratch["man_ticks"]) == int(s.scratch["cfg"]["man_ticks"])
+    assert int(out.scratch["man_count"]) == 1
     assert int(out.no_progress) == 0
     assert np.isinf(float(out.goal_best))
     assert not np.array_equal(np.asarray(out.key), np.asarray(s.key))
-    wp = np.asarray(out.scratch["esc_wp"])
+    wp = np.asarray(out.scratch["wp"])
     assert np.all(wp >= [-0.85, -0.85, 0.15]) and np.all(wp <= [0.85, 0.85,
                                                                0.95])
     # detour binding: attractor chases the waypoint, sim.goal untouched
@@ -679,40 +679,40 @@ def test_franka_escape_trigger_budget_and_detour_binding():
 
     # one tick BEFORE the trigger: nothing fires
     s_early = _franka_stalled_state(env, no_progress=34)
-    assert int(env.pre_tick(s_early).scratch["esc_ticks"]) == 0
+    assert int(env.pre_tick(s_early).scratch["man_ticks"]) == 0
 
     # budget spent: no further detours
     s_spent = _with_scratch(_franka_stalled_state(env),
-                            esc_count=jnp.asarray(2, jnp.int32))
+                            man_count=jnp.asarray(2, jnp.int32))
     out = env.pre_tick(s_spent)
-    assert int(out.scratch["esc_ticks"]) == 0
-    assert int(out.scratch["esc_count"]) == 2
+    assert int(out.scratch["man_ticks"]) == 0
+    assert int(out.scratch["man_count"]) == 2
     # budget=0 disables escapes entirely
-    s_b0 = _with_cfg(_franka_stalled_state(env), esc_budget=0.0)
-    assert int(env.pre_tick(s_b0).scratch["esc_ticks"]) == 0
+    s_b0 = _with_cfg(_franka_stalled_state(env), man_budget=0.0)
+    assert int(env.pre_tick(s_b0).scratch["man_ticks"]) == 0
 
     # keep-busy goals (phase != 0, i.e. after a goal event) never detour
     s_late = dataclasses.replace(_franka_stalled_state(env),
                                  phase=jnp.asarray(7, jnp.int32))
-    assert int(env.pre_tick(s_late).scratch["esc_ticks"]) == 0
+    assert int(env.pre_tick(s_late).scratch["man_ticks"]) == 0
 
 
 def test_franka_escape_ends_on_arrival():
-    """esc_arrive=1: a detour that reached its waypoint (within 6 cm) ends
-    immediately instead of parking out the timer; esc_arrive=0 parks."""
+    """man_arrive=1: a detour that reached its waypoint (within 6 cm) ends
+    immediately instead of parking out the timer; man_arrive=0 parks."""
     from rmp_tpu.envs import franka
     from rmp_tpu.envs.base import ee_position
 
     env = franka.env_randomized_cluttered(5)
     state = env.reset(jax.random.PRNGKey(0))
     ee = ee_position(env, state.sim)
-    mid = _with_scratch(state, esc_ticks=jnp.asarray(10, jnp.int32),
-                        esc_wp=ee + 0.01)             # arrived (1.7 cm off)
-    assert int(env.pre_tick(mid).scratch["esc_ticks"]) == 0
-    parked = _with_cfg(mid, esc_arrive=0.0)
-    assert int(env.pre_tick(parked).scratch["esc_ticks"]) == 9
-    far = _with_scratch(mid, esc_wp=ee + jnp.asarray([0.0, 0.3, 0.0]))
-    assert int(env.pre_tick(far).scratch["esc_ticks"]) == 9
+    mid = _with_scratch(state, man_ticks=jnp.asarray(10, jnp.int32),
+                        wp=ee + 0.01)             # arrived (1.7 cm off)
+    assert int(env.pre_tick(mid).scratch["man_ticks"]) == 0
+    parked = _with_cfg(mid, man_arrive=0.0)
+    assert int(env.pre_tick(parked).scratch["man_ticks"]) == 9
+    far = _with_scratch(mid, wp=ee + jnp.asarray([0.0, 0.3, 0.0]))
+    assert int(env.pre_tick(far).scratch["man_ticks"]) == 9
 
 
 def test_franka_push_engages_at_near_stall_and_relaxes_obstacles():
@@ -768,21 +768,48 @@ def test_franka_goal_event_resets_escape_budget():
 
     env = franka.env_randomized_cluttered(5)
     state = _with_scratch(env.reset(jax.random.PRNGKey(0)),
-                          esc_ticks=jnp.asarray(7, jnp.int32),
-                          esc_count=jnp.asarray(2, jnp.int32),
+                          man_ticks=jnp.asarray(7, jnp.int32),
+                          man_count=jnp.asarray(2, jnp.int32),
                           push_on=jnp.asarray(True))
     out = env.on_solved(state)
-    assert int(out.scratch["esc_ticks"]) == 0
-    assert int(out.scratch["esc_count"]) == 0
+    assert int(out.scratch["man_ticks"]) == 0
+    assert int(out.scratch["man_count"]) == 0
     assert not bool(out.scratch["push_on"])
     assert not np.allclose(np.asarray(out.sim.goal), np.asarray(state.sim.goal))
+
+
+def test_bucketing_default_shares_cache_across_counts():
+    """VERDICT r4 #8: bucketing is the DEFAULT — envs constructed through
+    the registry path with different obstacle counts inside one 8-bucket
+    produce identically-shaped states, so one compiled step serves all of
+    them (the reference Datamanager's no-retrace property end-to-end)."""
+    from rmp_tpu.envs import franka
+
+    env8 = envs.make("franka/randomized_cluttered")     # n=7 -> bucket 8
+    step = jax.jit(make_control_step(env8))
+    params = env8.gather_params()
+    s7 = env8.reset(jax.random.PRNGKey(0))
+    assert s7.sim.obstacles.count == 8
+    step(s7, params)
+    assert step._cache_size() == 1
+    for n in (3, 5, 8):
+        env_n = franka.env_randomized_cluttered(n)
+        sn = env_n.reset(jax.random.PRNGKey(n))
+        assert sn.sim.obstacles.count == 8, f"n={n} not bucketed"
+        out, _ = step(sn, params)
+        assert np.isfinite(np.asarray(out.sim.q)).all()
+    assert step._cache_size() == 1, "bucketed scenes retraced"
+    # dual buckets too
+    from rmp_tpu.envs import dual
+    assert dual.env_randomized_clutter(3).reset(
+        jax.random.PRNGKey(0)).sim.obstacles.count == 8
 
 
 def test_franka_escape_rescues_walled_scene():
     """End-to-end: a deterministic 3-cylinder wall between EE and goal
     traps the reactive RMP in a local minimum forever — the escape detour
     (and nothing else: goal timeouts disabled) gets the arm around it.
-    Identical scene/params, only the traced esc_budget knob differs."""
+    Identical scene/params, only the traced man_budget knob differs."""
     from rmp_tpu.envs import franka
     from rmp_tpu.sim.collision import ObstacleSet, cylinder_obstacle
 
@@ -799,7 +826,7 @@ def test_franka_escape_rescues_walled_scene():
             goal=jnp.asarray([0.48, 0.40, 0.41]))
         # timeouts off: the ONLY rescue mechanism in play is the detour
         s = _with_cfg(dataclasses.replace(s, sim=sim),
-                      timeout=1e6, timeout_spent=1e6, esc_budget=budget)
+                      timeout=1e6, timeout_spent=1e6, man_budget=budget)
         return s
 
     states = jax.tree.map(lambda *x: jnp.stack(x),
@@ -873,17 +900,20 @@ def test_dual_contest_farther_arm_yields():
 
 
 def test_dual_push_relax_modes_and_budget():
-    """The dual push relaxes the grouped obstacle policy globally; with
-    push_relax_metric=1 only the metric yields (the repulsion barrier
+    """The dual push relaxes ONLY the pushing arm's (split) obstacle
+    policy; push_relax_global=1 restores the round-4 global behavior, and
+    with push_relax_metric=1 only the metric yields (the repulsion barrier
     stays). Maneuver budget gates both yield and solo escapes."""
     from rmp_tpu.envs import dual
 
     env = dual.env_randomized_clutter(3)
     params = env.gather_params()
     names = [p.name for p in env.policies]
-    i_obs = names.index("collision_avoidance")
+    i_oL = names.index("collision_avoidance_L")
+    i_oR = names.index("collision_avoidance_R")
     i_L = names.index("attractor_L")
 
+    # only arm L stalls near its goal -> only L's barrier relaxes
     state = _with_scratch(_dual_state(env),
                           noprog=jnp.asarray([25, 0], jnp.int32),
                           best=jnp.asarray([0.05, jnp.inf], jnp.float32))
@@ -893,16 +923,26 @@ def test_dual_push_relax_modes_and_budget():
         float(bound[i_L]["accel_p_gain"]),
         float(params[i_L]["accel_p_gain"]) * float(cfg["push_boost"]))
     np.testing.assert_allclose(
-        float(bound[i_obs]["repulsion_gain"]),
-        float(params[i_obs]["repulsion_gain"]) / float(cfg["push_relax"]))
+        float(bound[i_oL]["repulsion_gain"]),
+        float(params[i_oL]["repulsion_gain"]) / float(cfg["push_relax"]))
+    np.testing.assert_allclose(
+        float(bound[i_oR]["repulsion_gain"]),
+        float(params[i_oR]["repulsion_gain"]),
+        err_msg="non-pushing arm's barrier must NOT relax")
+    # round-4 global mode: either arm's push relaxes both barriers
+    state_g = _with_cfg(state, push_relax_global=1.0)
+    bound_g = env.bind_params(params, state_g.sim, env.policies, state_g)
+    np.testing.assert_allclose(
+        float(bound_g[i_oR]["repulsion_gain"]),
+        float(params[i_oR]["repulsion_gain"]) / float(cfg["push_relax"]))
     # metric-only mode: barrier force kept, blend weight yields
     state_m = _with_cfg(state, push_relax_metric=1.0)
     bound_m = env.bind_params(params, state_m.sim, env.policies, state_m)
-    np.testing.assert_allclose(float(bound_m[i_obs]["repulsion_gain"]),
-                               float(params[i_obs]["repulsion_gain"]))
+    np.testing.assert_allclose(float(bound_m[i_oL]["repulsion_gain"]),
+                               float(params[i_oL]["repulsion_gain"]))
     np.testing.assert_allclose(
-        float(bound_m[i_obs]["metric_scalar"]),
-        float(params[i_obs]["metric_scalar"]) / float(cfg["push_relax"]))
+        float(bound_m[i_oL]["metric_scalar"]),
+        float(params[i_oL]["metric_scalar"]) / float(cfg["push_relax"]))
 
     # budget: an arm with its maneuvers spent cannot yield or escape
     spent = _with_scratch(state,
