@@ -49,6 +49,7 @@ def run_one(env_name: str, iters: int, batch: int, ticks: int,
     env = envs.make(env_name)
     env.collision_geometry = "hull"
     env.resolve_method = "solve"
+    env.hull_warm_iters = iters          # probe the candidate count end-to-end
     params = env.gather_params()
     states = envs.make_batched_reset(env, batch)(jax.random.PRNGKey(seed))
     step = eb.make_batched_control_step(env)
@@ -95,6 +96,7 @@ def run_one(env_name: str, iters: int, batch: int, ticks: int,
 
     per_tick = []
     qdd_err_max = qdd_err_p99 = qdd_rms = 0.0
+    qdd_p99_ticks = []
     s = states
     for _ in range(ticks):
         qdd_c = step_cold_qdd(s)
@@ -103,6 +105,7 @@ def run_one(env_name: str, iters: int, batch: int, ticks: int,
         e = np.abs(np.asarray(qdd_w) - np.asarray(qdd_c))
         qdd_err_max = max(qdd_err_max, float(e.max()))
         qdd_err_p99 = max(qdd_err_p99, float(np.percentile(e, 99)))
+        qdd_p99_ticks.append(float(np.percentile(e, 99)))
         qdd_rms += float(np.sqrt(np.mean(np.asarray(qdd_c) ** 2))) / ticks
 
     report = {"env": env_name, "iters_warm": iters, "batch": batch,
@@ -124,6 +127,13 @@ def run_one(env_name: str, iters: int, batch: int, ticks: int,
             [t[f"frac@{key}"] for t in per_tick]))
     report["qdd_abs_err_max"] = qdd_err_max
     report["qdd_abs_err_p99_worst_tick"] = qdd_err_p99
+    # late-tick split: randomized scenes can SPAWN obstacles in deep
+    # penetration (max_qdd-clamped chaotic transients for the first ~10
+    # ticks); the median per-tick p99 past tick 20 describes the distance
+    # error's policy impact on nominal operation
+    late = qdd_p99_ticks[min(20, len(qdd_p99_ticks) - 1):]
+    report["qdd_abs_err_p99_median_tick"] = float(np.median(qdd_p99_ticks))
+    report["qdd_abs_err_p99_median_late_tick"] = float(np.median(late))
     report["qdd_rms_cold"] = qdd_rms
     return report
 

@@ -43,22 +43,26 @@ CONFIGS = {
         # residual failures are 58% >=10 cm stalls — wedged CONFIGURATIONS
         # the EE-space detour doesn't unwedge). cand_arrive (= the new
         # env defaults) anchors.
-        # round 8 (r5): IK-CONSISTENT q-space detours (esc_qspace=1 binds
-        # the cspace policy to a DLS solution whose EE sits at the detour
-        # waypoint; the round-7 esc_cspace-to-q_ready variant fought the
-        # waypoint and measured monotonically worse) + the metric-only
-        # push relax (penetration control, dual pattern)
+        # round 8 (r5) RESULTS — IK-consistent q-space detours (esc_qspace
+        # =1) measured FLAT-to-NEGATIVE (c5 83.2/89.6, c15 81.4/89.1, c40
+        # 82.5/89.7 vs baseline 83.1/89.5 at pen 1.07) and the metric-only
+        # push relax HURT penetration on franka (pm_only 82.6/89.3/1.32)
+        # — opposite sign vs dual. Round 9: REVERSE-OUT escapes
+        # (esc_qspace=2, detour to the arm's own ~32-tick-old pose — a
+        # configuration-space retreat along a feasible-by-construction
+        # path) at several cspace-authority scales.
         "cand_arrive": dict(),
-        "qspace_c5": dict(esc_qspace=1.0, esc_cspace=5.0),
-        "qspace_c15": dict(esc_qspace=1.0, esc_cspace=15.0),
-        "qspace_c40": dict(esc_qspace=1.0, esc_cspace=40.0),
-        "qspace_c15_b3": dict(esc_qspace=1.0, esc_cspace=15.0,
+        "revout_c10": dict(esc_qspace=2.0, esc_cspace=10.0),
+        "revout_c30": dict(esc_qspace=2.0, esc_cspace=30.0),
+        "revout_c80": dict(esc_qspace=2.0, esc_cspace=80.0),
+        "revout_c30_b3": dict(esc_qspace=2.0, esc_cspace=30.0,
                               man_budget=3.0),
-        "pm_only": dict(push_relax_metric=1.0),
-        "qspace_c15_pm": dict(esc_qspace=1.0, esc_cspace=15.0,
-                              push_relax_metric=1.0),
-        "qspace_c15_relax6": dict(esc_qspace=1.0, esc_cspace=15.0,
-                                  push_relax=6.0, push_relax_metric=1.0),
+        "revout_c30_long": dict(esc_qspace=2.0, esc_cspace=30.0,
+                                man_ticks=32.0),
+        "revout_c30_spent35": dict(esc_qspace=2.0, esc_cspace=30.0,
+                                   timeout_spent=35.0),
+        "revout_c30_eager": dict(esc_qspace=2.0, esc_cspace=30.0,
+                                 esc_trigger=25.0),
     },
     "dual_panda/randomized_clutter": {
         # round 8 (r5): PER-ARM obstacle split (VERDICT r4 #6) — the

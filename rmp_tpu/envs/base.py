@@ -156,6 +156,13 @@ class Env:
     # default aux lacks, e.g. min obstacle clearance for collision-shaped
     # objectives). None (default) costs nothing.
     aux_fn: Callable | None = None
+    # hull tier only: warm-tick GJK iteration count for THIS env's batched
+    # rollouts (None = the global RMP_GJK_ITERS default, 4). The warm
+    # count is accuracy-certified per TRAJECTORY CLASS, not globally: 4
+    # holds sub-mm on the slow flagship but leaves multi-cm close-band
+    # errors on fast-motion randomized scenes (reports/
+    # gjk_warm_accuracy.json, r5) — those envs pin a higher count here.
+    hull_warm_iters: int | None = None
     # opt-in reduced precision for the FUSED batched path: 'bf16' casts the
     # per-policy row blocks (J/W/v and the identity Gram seed) to bfloat16
     # at the producer/kernel boundary — both the HBM write and the Pallas
@@ -434,7 +441,8 @@ def make_batched_control_step(env: Env):
         T_all_b = jax.vmap(lambda q: K.fk_all(env.model, q))(states.sim.q)
         return distance_context_batched(env.model, T_all_b,
                                         states.sim.obstacles, "hull",
-                                        warm=states.gjk_warm)
+                                        warm=states.gjk_warm,
+                                        iters=env.hull_warm_iters)
 
     def step(states: EnvState, params: tuple):
         # batch-major structured per-policy blocks; the kernel accumulates

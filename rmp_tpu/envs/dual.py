@@ -203,8 +203,9 @@ def env_randomized_clutter(n_obstacles: int = 5,
     them (sim/randomizer box samplers), jittered initial configs, and
     progress-based goal resampling (franka/randomized_cluttered pattern).
     Exercises the full multi-robot stack under randomization: per-arm
-    attractors, grouped obstacle avoidance over BOTH arms' collision
-    frames, and inter-arm closest-point repulsion, in one compiled program.
+    attractors, grouped obstacle avoidance split PER ARM (r5: so the
+    final-push relax never lowers the other arm's barrier), and inter-arm
+    closest-point repulsion, in one compiled program.
     Beyond-reference capability (the reference is single-robot throughout,
     SURVEY.md §2).
 

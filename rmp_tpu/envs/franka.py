@@ -421,14 +421,24 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         #                    — the ready-pose pull fights the detour
         #                    waypoint. r5: esc_qspace=1 re-aims it at an
         #                    IK solution CONSISTENT with the waypoint.
-        esc_qspace=0.0,    # 1: during a detour, bind the cspace policy's
-        #                    goal to a DLS-IK configuration whose EE sits
-        #                    at the detour waypoint (computed at trigger,
-        #                    scratch["q_wp"]) — re-poses elbow/shoulder
-        #                    instead of pulling toward q_ready. Attacks
-        #                    the 58% of residual failures that are >=10cm
-        #                    WEDGED CONFIGURATIONS EE-space detours can't
-        #                    unwedge (VERDICT r4 #2).
+        esc_qspace=0.0,    # q-space detour mode, attacking the 58% of
+        #                    residual failures that are >=10 cm WEDGED
+        #                    CONFIGURATIONS EE-space detours can't unwedge
+        #                    (VERDICT r4 #2):
+        #                    1: bind the cspace policy's goal to a DLS-IK
+        #                       configuration whose EE sits at the detour
+        #                       waypoint (computed at trigger). Paired-
+        #                       measured FLAT-to-NEGATIVE (r5 sweep round
+        #                       8: c5 83.2, c15 81.4, c40 82.5 vs 83.1
+        #                       baseline) — IK re-posing guesses a
+        #                       configuration that may itself be blocked.
+        #                    2: REVERSE-OUT — detour to the arm's OWN
+        #                       configuration from ~30 ticks ago (scratch
+        #                       q_hist ring): both the attractor (at its
+        #                       EE position) and the cspace policy (at
+        #                       q_past) pull back along a path that was
+        #                       FEASIBLE by construction, then the goal
+        #                       chase resumes from the unwedged pose.
         esc_gate=999.0,    # m: detour only when the env has already been
         #                    this close. Paired-swept: every gate value
         #                    (0.15/0.20/0.25) traded ~1.5 first-goal pts
@@ -474,11 +484,15 @@ def env_randomized_cluttered(n_obstacles: int = 7,
     _WS_LO = np.asarray([-0.85, -0.85, 0.15], np.float32)
     _WS_HI = np.asarray([0.85, 0.85, 0.95], np.float32)
 
-    def init_scratch():
+    def init_scratch(q0=None):
         zero = jnp.zeros((), jnp.int32)
+        q0 = jnp.asarray(Q_READY if q0 is None else q0, jnp.float32)
         return dict(man_ticks=zero, man_count=zero,
                     wp=jnp.zeros(3, jnp.float32),
-                    q_wp=jnp.asarray(Q_READY, jnp.float32),
+                    q_wp=q0,
+                    # reverse-out ring (esc_qspace=2): slot 0 is ~S ticks
+                    # old, the last slot ~S*H ticks old (S=8, H=4)
+                    q_hist=jnp.tile(q0[None], (4, 1)),
                     push_on=jnp.zeros((), jnp.bool_),
                     cfg=mv.cfg_scratch(CFG))
 
@@ -564,14 +578,27 @@ def env_randomized_cluttered(n_obstacles: int = 7,
             jnp.asarray(_WS_LO), jnp.asarray(_WS_HI))
         wp = jnp.where(cfg["esc_cand"] > 0.5, best_wp, wp_legacy)
 
+        # REVERSE-OUT ring (esc_qspace=2): shift a 4-slot configuration
+        # history every 8 ticks so slot -1 holds the pose from ~32 ticks
+        # ago — before the wedge formed, feasible by construction
+        shift = (state.steps % 8) == 0
+        hist_next = jnp.where(
+            shift, jnp.concatenate([state.sim.q[None], sc["q_hist"][:-1]]),
+            sc["q_hist"])
+        q_past = sc["q_hist"][-1]
+        mode2 = cfg["esc_qspace"] > 1.5
+        wp = jnp.where(mode2, K.fk_frame(model, q_past, ee_idx)[:3, 3], wp)
+
         ticks_next, count_next, wp_next = mv.maneuver_timers(
             cfg, sc["man_ticks"], sc["man_count"], trigger, ee, sc["wp"],
             wp, arrive_tol=0.06)
-        # configuration waypoint: an IK re-pose consistent WITH the detour
-        # waypoint (the failed esc_cspace variant pulled toward q_ready,
-        # which fights it). Computed every tick (branchless under vmap),
-        # consumed only when esc_qspace binds it during a detour.
-        q_wp = jnp.where(trigger, _ik_toward(state.sim.q, wp), sc["q_wp"])
+        # configuration waypoint: mode 1 = an IK re-pose consistent WITH
+        # the detour waypoint (the failed esc_cspace variant pulled toward
+        # q_ready, which fights it); mode 2 = the historical pose itself.
+        # Computed every tick (branchless under vmap), consumed only when
+        # esc_qspace binds it during a detour.
+        q_cand = jnp.where(mode2, q_past, _ik_toward(state.sim.q, wp))
+        q_wp = jnp.where(trigger, q_cand, sc["q_wp"])
         # push latch: engage on a near-goal stall; release on a detour
         # (the waypoint chase must run at normal gains) or after wandering
         # far from the goal (post-detour re-approach starts clean)
@@ -582,7 +609,8 @@ def env_randomized_cluttered(n_obstacles: int = 7,
             & (jnp.linalg.norm(to_goal) < 4.0 * cfg["push_near"]),
             engage)
         scratch = dict(sc, man_ticks=ticks_next, man_count=count_next,
-                       wp=wp_next, q_wp=q_wp, push_on=push_on)
+                       wp=wp_next, q_wp=q_wp, q_hist=hist_next,
+                       push_on=push_on)
         no_progress, goal_best = mv.freeze_progress(state, trigger,
                                                     ticks_next > 0)
         return dataclasses.replace(
@@ -673,7 +701,7 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         sim = init_state(model, q=q, qd=qd, obstacles=obstacles,
                          goal=rnd.randomize_goal(k_goal,
                                                  obstacles=obstacles))
-        return env_state(sim, k_carry, scratch=init_scratch())
+        return env_state(sim, k_carry, scratch=init_scratch(q))
 
     return Env(name="franka/randomized_cluttered",
                enforce_velocity_limits=True, model=model,

@@ -456,18 +456,19 @@ def robot_obstacle_distances_hull_batched(model: KinematicModel,
     d0 = jnp.where(degenerate, d0_centroid, d0_cap)       # (B, L, K, 3)
     if warm is not None:
         live = jnp.sum(warm * warm, axis=-1, keepdims=True) > 1e-10
-        # STALENESS GUARD (r5): a previous-tick witness is a near-converged
-        # start only while the scene moved ~mm since; on fast-motion envs
-        # (randomized_cluttered transits at ~10x the flagship's joint
-        # velocity) a stale carry left multi-cm distance errors at the warm
-        # iteration count (reports/gjk_warm_accuracy.json, r5 probe). The
-        # guard compares the carry against the CURRENT capsule witness —
-        # already computed for the broad phase, so it costs one dot product
-        # — and falls back to that fresh geometric start when they disagree
-        # by more than ~25 deg. Slow scenes keep the carry (directions
-        # agree), so the flagship bench path is unchanged.
+        # STALENESS GUARD (r5, ships OFF — measured no benefit): the
+        # hypothesis was that fast-motion envs (randomized_cluttered
+        # transits at ~10x the flagship's joint velocity) leave the carry
+        # directionally stale; falling back to the fresh capsule witness
+        # when carry and capsule witness disagree by >25 deg measured
+        # IDENTICAL banded error (close-band p99 30 mm vs 28 mm,
+        # reports/gjk_warm_accuracy.json r5 probe) — the residual error on
+        # randomized scenes is ITERATION-COUNT-limited (penetrating spawn
+        # transients + fatter cylinders need more descent steps from ANY
+        # start), not staleness-limited; raise RMP_GJK_ITERS there
+        # instead. Knob kept as the documented negative result.
         import os
-        stale_cos = float(os.environ.get("RMP_GJK_STALE_COS", "0.9"))
+        stale_cos = float(os.environ.get("RMP_GJK_STALE_COS", "0.0"))
         if stale_cos > 0.0:
             wn = warm * jax.lax.rsqrt(
                 jnp.sum(warm * warm, axis=-1, keepdims=True) + 1e-12)
