@@ -47,22 +47,27 @@ CONFIGS = {
         # =1) measured FLAT-to-NEGATIVE (c5 83.2/89.6, c15 81.4/89.1, c40
         # 82.5/89.7 vs baseline 83.1/89.5 at pen 1.07) and the metric-only
         # push relax HURT penetration on franka (pm_only 82.6/89.3/1.32)
-        # — opposite sign vs dual. Round 9: REVERSE-OUT escapes
-        # (esc_qspace=2, detour to the arm's own ~32-tick-old pose — a
-        # configuration-space retreat along a feasible-by-construction
-        # path) at several cspace-authority scales.
+        # — opposite sign vs dual.
+        # round 9 (r5) RESULTS — REVERSE-OUT escapes (esc_qspace=2, detour
+        # to the arm's own ~32-tick-old pose) measured NEGATIVE across the
+        # whole grid: c10 80.2/90.1, c30 78.4/90.3, c80 78.4/89.7,
+        # c30_b3 79.7/86.0, c30_long 78.5/90.1, c30_spent35 75.7/90.1,
+        # c30_eager 78.0/90.9 vs baseline 83.1/89.5/1.07. The 32-tick
+        # history is INSIDE the 35-tick stall window — the "old" pose is
+        # already wedged — and deeper history means retreating most of the
+        # way to spawn, spending the horizon. The q-space detour family
+        # (mode 1 IK re-pose, mode 2 reverse-out) is a measured dead end.
+        # Round 10: GEOMETRY probe (VERDICT r4 #2 lever b) — obs_margin
+        # shifts the obstacle policy's effective distance (+1 cm padding
+        # emulation removal); the exact-hull tier (same scenes, exact
+        # distances) already sits at 85.9 first-goal / 0.29 pen.
         "cand_arrive": dict(),
-        "revout_c10": dict(esc_qspace=2.0, esc_cspace=10.0),
-        "revout_c30": dict(esc_qspace=2.0, esc_cspace=30.0),
-        "revout_c80": dict(esc_qspace=2.0, esc_cspace=80.0),
-        "revout_c30_b3": dict(esc_qspace=2.0, esc_cspace=30.0,
-                              man_budget=3.0),
-        "revout_c30_long": dict(esc_qspace=2.0, esc_cspace=30.0,
-                                man_ticks=32.0),
-        "revout_c30_spent35": dict(esc_qspace=2.0, esc_cspace=30.0,
-                                   timeout_spent=35.0),
-        "revout_c30_eager": dict(esc_qspace=2.0, esc_cspace=30.0,
-                                 esc_trigger=25.0),
+        "margin_m5": dict(obs_margin=-0.005),
+        "margin_m10": dict(obs_margin=-0.01),
+        "margin_m15": dict(obs_margin=-0.015),
+        "margin_m10_relax6": dict(obs_margin=-0.01, push_relax=6.0),
+        "margin_p5": dict(obs_margin=0.005),
+        "margin_m10_trig45": dict(obs_margin=-0.01, esc_trigger=45.0),
     },
     "dual_panda/randomized_clutter": {
         # round 8 (r5): PER-ARM obstacle split (VERDICT r4 #6) — the

@@ -480,6 +480,18 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         #                    repulsion_gain at full force (blend weight
         #                    yields, the barrier stays — penetration
         #                    control, dual_panda pattern).
+        obs_margin=0.0,    # m, ADDED to the obstacle policy's margin
+        #                    (negative = the policy treats obstacles as
+        #                    that much FARTHER). Probe knob for the
+        #                    capsule-padding hypothesis (VERDICT r4 #2
+        #                    lever b): the mesh-fitted capsules pad up to
+        #                    ~2 cm beyond the true meshes
+        #                    (reports/collision_mesh_error.json) and the
+        #                    exact-hull tier — same scenes, exact
+        #                    distances — already clears the 85% first-goal
+        #                    bar; a negative margin emulates a tighter fit
+        #                    (at measured-penetration cost, since the
+        #                    penetration metric keeps the padded capsules).
     )
     _WS_LO = np.asarray([-0.85, -0.85, 0.15], np.float32)
     _WS_HI = np.asarray([0.85, 0.85, 0.95], np.float32)
@@ -640,6 +652,7 @@ def env_randomized_cluttered(n_obstacles: int = 7,
                                           metric_scale=mscale)
             elif p.name == "collision_avoidance":
                 prm = mv.relaxed_obstacle(prm, relax_rep, relax)
+                prm["margin"] = prm["margin"] + cfg["obs_margin"]
             elif p.name == "cspace_target":
                 cspace = jnp.where(escaping, cfg["esc_cspace"], 1.0)
                 qgoal = jnp.where(escaping & (cfg["esc_qspace"] > 0.5),
