@@ -61,13 +61,27 @@ CONFIGS = {
         # shifts the obstacle policy's effective distance (+1 cm padding
         # emulation removal); the exact-hull tier (same scenes, exact
         # distances) already sits at 85.9 first-goal / 0.29 pen.
+        # round 10 (r5) RESULTS — geometry-conservatism probe: NEGATIVE
+        # margins buy little first-goal (+0.4..1.0) at exploding measured
+        # penetration (m5 83.5/90.1/1.59, m10 83.6/90.1/2.12, m15
+        # 84.1/89.7/3.17) — the wedged class is NOT the ~1 cm capsule
+        # padding. POSITIVE +5 mm margin is a freebie on the pen axis:
+        # 83.0/89.5/0.76 (from 1.07) at unchanged success. trig45 (mixed
+        # with m10) hit first-goal 85.1/89.0 — later detours give the
+        # plain policy longer. Round 11: esc_trigger timing alone/with
+        # +5 mm margin, and metric-only obstacle relax DURING detours
+        # (esc_relax — the barrier metric may be blocking the escape
+        # direction itself for wedged links).
         "cand_arrive": dict(),
-        "margin_m5": dict(obs_margin=-0.005),
-        "margin_m10": dict(obs_margin=-0.01),
-        "margin_m15": dict(obs_margin=-0.015),
-        "margin_m10_relax6": dict(obs_margin=-0.01, push_relax=6.0),
-        "margin_p5": dict(obs_margin=0.005),
-        "margin_m10_trig45": dict(obs_margin=-0.01, esc_trigger=45.0),
+        "trig45": dict(esc_trigger=45.0),
+        "trig45_p5": dict(esc_trigger=45.0, obs_margin=0.005),
+        "escrelax4": dict(esc_relax=4.0),
+        "escrelax10": dict(esc_relax=10.0),
+        "escrelax4_p5": dict(esc_relax=4.0, obs_margin=0.005),
+        "escrelax4_trig45_p5": dict(esc_relax=4.0, esc_trigger=45.0,
+                                    obs_margin=0.005),
+        "escrelax10_trig45_p5": dict(esc_relax=10.0, esc_trigger=45.0,
+                                     obs_margin=0.005),
     },
     "dual_panda/randomized_clutter": {
         # round 8 (r5): PER-ARM obstacle split (VERDICT r4 #6) — the

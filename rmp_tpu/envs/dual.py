@@ -365,6 +365,14 @@ def env_randomized_clutter(n_obstacles: int = 5,
         #                     explodes; x3 merely neutral at 2% pen).
         #                     Ships OFF; kept as the documented negative.
         hold_radius=0.05,   # m, engagement distance for hold-assist
+        man_relax=1.0,      # divide the maneuvering arm's obstacle
+        #                     metric_scalar by this DURING yields/detours
+        #                     (repulsion kept — franka round-11 pattern:
+        #                     the barrier metric can block the retreat
+        #                     direction itself for wedged links)
+        obs_margin=0.0,     # m, ADDED to both arms' obstacle margins
+        #                     (franka round-10: +5 mm is a pen-axis
+        #                     freebie on the capsule tier)
         man_scored=0.0,     # 1: pick the retreat waypoint by scoring 4
         #                     candidates (station, lift +30 cm, own-side
         #                     +-y) on clearance minus goal detour
@@ -412,12 +420,17 @@ def env_randomized_clutter(n_obstacles: int = 5,
         # stays at full strength (penetration control)
         relax_rep = jnp.where(cfg["push_relax_metric"] > 0.5,
                               jnp.ones_like(relax), relax)
+        # maneuver-time metric-only relax (mutually exclusive with push:
+        # push requires ~maneuvering)
+        mrelax = relax * jnp.where(maneuvering, cfg["man_relax"], 1.0)
         out = []
         for p, prm in zip(pols, params):
             if p.name == "collision_avoidance_L":
-                prm = mv.relaxed_obstacle(prm, relax_rep[0], relax[0])
+                prm = mv.relaxed_obstacle(prm, relax_rep[0], mrelax[0])
+                prm["margin"] = prm["margin"] + cfg["obs_margin"]
             elif p.name == "collision_avoidance_R":
-                prm = mv.relaxed_obstacle(prm, relax_rep[1], relax[1])
+                prm = mv.relaxed_obstacle(prm, relax_rep[1], mrelax[1])
+                prm["margin"] = prm["margin"] + cfg["obs_margin"]
             elif p.name == "attractor_L":
                 prm = mv.scaled_attractor(prm, goal=eff[0],
                                           gain_boost=boost[0],

@@ -480,6 +480,13 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         #                    repulsion_gain at full force (blend weight
         #                    yields, the barrier stays — penetration
         #                    control, dual_panda pattern).
+        esc_relax=1.0,     # divide the obstacle policy's metric_scalar by
+        #                    this DURING detours (repulsion force kept):
+        #                    the wedged-configuration hypothesis is that
+        #                    the 1/d^2 metric WALL blocks the escape
+        #                    direction itself — links pinched between
+        #                    obstacles can't slide sideways while the
+        #                    barrier metric outvotes the detour pull.
         obs_margin=0.0,    # m, ADDED to the obstacle policy's margin
         #                    (negative = the policy treats obstacles as
         #                    that much FARTHER). Probe knob for the
@@ -651,7 +658,11 @@ def env_randomized_cluttered(n_obstacles: int = 7,
                 prm = mv.scaled_attractor(prm, goal=goal, gain_boost=boost,
                                           metric_scale=mscale)
             elif p.name == "collision_avoidance":
-                prm = mv.relaxed_obstacle(prm, relax_rep, relax)
+                # push relax (repulsion+metric or metric-only) and the
+                # detour-time metric-only relax are mutually exclusive by
+                # construction (push = ~escaping & push_on)
+                mrelax = relax * jnp.where(escaping, cfg["esc_relax"], 1.0)
+                prm = mv.relaxed_obstacle(prm, relax_rep, mrelax)
                 prm["margin"] = prm["margin"] + cfg["obs_margin"]
             elif p.name == "cspace_target":
                 cspace = jnp.where(escaping, cfg["esc_cspace"], 1.0)

@@ -44,7 +44,16 @@ def two_joint_robot() -> KinematicModel:
 @functools.lru_cache(maxsize=None)
 def franka_panda() -> KinematicModel:
     """9-DOF Franka Panda (7 revolute + 2 prismatic fingers), EE frame
-    'panda_grasptarget_hand'."""
+    'panda_grasptarget_hand'.
+
+    RMP_PANDA_CAPS=fine (read at model build, i.e. trace time) swaps the
+    25-primitive mesh-fitted capsule set for the 47-primitive FINE table
+    (models/specs._PANDA_CAPS_FINE) — an experiment knob for the
+    capsule-tier geometry-fidelity studies, ~1.9x the collision pairs."""
+    import os
+    if os.environ.get("RMP_PANDA_CAPS") == "fine":
+        from rmp_tpu.models.specs import with_fine_capsules
+        return build_model(with_fine_capsules(PANDA_SPEC))
     return build_model(PANDA_SPEC)
 
 

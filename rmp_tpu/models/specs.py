@@ -257,9 +257,99 @@ _PANDA_CAPS = {
 }
 
 
+# FINER fit (experiments/fit_capsules.py --k-max 6 --target-mm 5 --steps
+# 800): 47 primitives vs the default 25 — per-link protrusion <= 10.4 mm /
+# bulge <= 8.8 mm, mean |dev| 1.1-3.7 mm. Opt-in via RMP_PANDA_CAPS=fine
+# (models/robots.franka_panda reads it at model build): the r5 round-10
+# margin probe showed the ~1 cm capsule padding is NOT the wedged-
+# configuration cause, but the finer set also reshapes the distance
+# GRADIENT field (thin capsules hug concavities the coarse set bridges),
+# which a scalar margin cannot emulate. Kept opt-in: ~1.9x the collision
+# pairs of the default set (device-time cost on every capsule-tier env).
+_PANDA_CAPS_FINE = {
+    "panda_link1": (
+        CollisionPrimitive("capsule", (-0.0003, -0.0245, 0.0066), (0.0001, -0.0386, -0.0202), 0.0548),
+        CollisionPrimitive("capsule", (0.0004, -0.0201, -0.0309), (-0.0002, -0.0765, 0.0013), 0.0549),
+        CollisionPrimitive("capsule", (0.0021, -0.0434, -0.0726), (-0.0080, -0.0342, -0.0742), 0.0589),
+        CollisionPrimitive("capsule", (0.0025, -0.0002, -0.1504), (-0.0047, -0.0098, -0.1407), 0.0626),
+        CollisionPrimitive("capsule", (-0.0154, -0.0079, -0.0676), (0.0159, -0.0027, -0.0779), 0.0428),
+    ),
+    "panda_link2": (
+        CollisionPrimitive("capsule", (0.0009, -0.0907, 0.0433), (-0.0004, -0.0675, 0.0128), 0.0565),
+        CollisionPrimitive("capsule", (0.0031, 0.0016, 0.0753), (-0.0038, -0.0030, 0.0773), 0.0537),
+        CollisionPrimitive("capsule", (-0.0033, 0.0096, 0.0874), (-0.0137, 0.0048, 0.0533), 0.0411),
+        CollisionPrimitive("capsule", (0.0002, -0.0274, 0.0401), (0.0002, 0.0053, 0.0232), 0.0548),
+        CollisionPrimitive("capsule", (0.0021, -0.1543, 0.0005), (-0.0039, -0.1460, 0.0079), 0.0619),
+    ),
+    "panda_link3": (
+        CollisionPrimitive("capsule", (0.0841, 0.0633, 0.0021), (0.0857, 0.0259, -0.0047), 0.0517),
+        CollisionPrimitive("capsule", (0.0015, -0.0243, -0.0974), (-0.0085, 0.0051, -0.0682), 0.0380),
+        CollisionPrimitive("capsule", (0.0619, 0.0356, -0.0200), (0.0206, 0.0109, -0.0720), 0.0604),
+        CollisionPrimitive("capsule", (0.0853, 0.0301, 0.0126), (-0.0057, -0.0020, -0.0634), 0.0486),
+        CollisionPrimitive("capsule", (-0.0267, 0.0313, -0.1019), (-0.0368, -0.0169, -0.1028), 0.0213),
+    ),
+    "panda_link4": (
+        CollisionPrimitive("capsule", (-0.0239, 0.0234, 0.0422), (0.0028, -0.0026, 0.0244), 0.0572),
+        CollisionPrimitive("capsule", (0.0059, -0.0005, 0.0645), (-0.0427, 0.0589, 0.0314), 0.0493),
+        CollisionPrimitive("capsule", (-0.0103, 0.0110, 0.0393), (-0.0832, 0.0833, -0.0004), 0.0621),
+        CollisionPrimitive("capsule", (-0.0016, -0.0062, 0.0661), (-0.0526, 0.0680, 0.0301), 0.0479),
+    ),
+    "panda_link5": (
+        CollisionPrimitive("capsule", (-0.0159, 0.0010, -0.2235), (0.0076, 0.0262, -0.2079), 0.0529),
+        CollisionPrimitive("capsule", (-0.0001, 0.0374, 0.0045), (0.0000, 0.0720, -0.0545), 0.0498),
+        CollisionPrimitive("capsule", (0.0068, -0.0331, -0.2383), (0.0384, 0.0095, -0.2338), 0.0293),
+        CollisionPrimitive("capsule", (0.0057, 0.0709, -0.0169), (-0.0060, 0.0814, 0.0023), 0.0491),
+        CollisionPrimitive("capsule", (-0.0012, 0.0390, -0.1861), (0.0032, 0.0807, 0.0034), 0.0506),
+        CollisionPrimitive("capsule", (0.0001, 0.0087, -0.1860), (0.0001, 0.0348, -0.0729), 0.0522),
+    ),
+    "panda_link6": (
+        CollisionPrimitive("capsule", (-0.0122, -0.0200, 0.0112), (0.1020, -0.0273, 0.0175), 0.0292),
+        CollisionPrimitive("capsule", (0.0830, 0.0346, -0.0072), (0.0720, 0.0387, 0.0035), 0.0461),
+        CollisionPrimitive("capsule", (0.1003, 0.0178, 0.0159), (-0.0028, 0.0298, 0.0117), 0.0293),
+        CollisionPrimitive("capsule", (0.0732, -0.0268, -0.0198), (0.1097, -0.0251, -0.0090), 0.0294),
+        CollisionPrimitive("capsule", (0.0313, -0.0008, 0.0266), (-0.0191, 0.0007, 0.0174), 0.0354),
+        CollisionPrimitive("capsule", (0.1050, 0.0488, -0.0003), (0.0891, 0.0532, 0.0180), 0.0254),
+    ),
+    "panda_link7": (
+        CollisionPrimitive("capsule", (0.0234, 0.0371, 0.0796), (-0.0232, 0.0019, 0.0793), 0.0291),
+        CollisionPrimitive("capsule", (0.0432, 0.0178, 0.0696), (0.0455, 0.0191, 0.0858), 0.0195),
+        CollisionPrimitive("capsule", (0.0385, 0.0676, 0.0859), (-0.0285, 0.0176, 0.0594), 0.0143),
+        CollisionPrimitive("capsule", (0.0698, 0.0358, 0.0856), (0.0480, 0.0599, 0.0851), 0.0126),
+        CollisionPrimitive("capsule", (0.0229, -0.0103, 0.0778), (-0.0145, -0.0213, 0.0768), 0.0306),
+    ),
+    "panda_hand": (
+        CollisionPrimitive("capsule", (0.0002, 0.0738, 0.0090), (-0.0000, 0.0793, 0.0464), 0.0260),
+        CollisionPrimitive("capsule", (0.0003, -0.0827, 0.0451), (-0.0003, 0.0720, 0.0394), 0.0245),
+        CollisionPrimitive("capsule", (0.0001, -0.0786, 0.0029), (0.0001, 0.0576, 0.0099), 0.0265),
+    ),
+    "panda_leftfinger": (
+        CollisionPrimitive("capsule", (0.0090, 0.0227, 0.0045), (-0.0092, 0.0226, 0.0051), 0.0049),
+        CollisionPrimitive("capsule", (0.0041, 0.0078, 0.0468), (-0.0047, 0.0071, 0.0472), 0.0091),
+        CollisionPrimitive("capsule", (-0.0016, 0.0062, 0.0283), (0.0005, 0.0135, 0.0336), 0.0112),
+        CollisionPrimitive("capsule", (-0.0002, 0.0197, 0.0177), (0.0002, 0.0074, 0.0051), 0.0115),
+    ),
+    "panda_rightfinger": (
+        CollisionPrimitive("capsule", (-0.0094, -0.0225, 0.0043), (0.0094, -0.0221, 0.0051), 0.0049),
+        CollisionPrimitive("capsule", (-0.0042, -0.0075, 0.0465), (0.0045, -0.0074, 0.0472), 0.0092),
+        CollisionPrimitive("capsule", (0.0021, -0.0088, 0.0295), (-0.0008, -0.0122, 0.0299), 0.0133),
+        CollisionPrimitive("capsule", (0.0005, -0.0197, 0.0174), (-0.0001, -0.0076, 0.0049), 0.0115),
+    ),
+}
+
+
 def _plink(name, mass, com):
     caps = _PANDA_CAPS.get(name)
     return LinkSpec(name, mass, com, _DIAG01, caps if caps else ())
+
+
+def with_fine_capsules(spec: "RobotSpec") -> "RobotSpec":
+    """spec with every link's capsule set swapped for the FINE table where
+    one exists (panda links only; other links keep their primitives)."""
+    links = tuple(
+        dataclasses.replace(l, collision=_PANDA_CAPS_FINE[l.name])
+        if l.name in _PANDA_CAPS_FINE else l
+        for l in spec.links)
+    return dataclasses.replace(spec, links=links)
 
 
 _HALF_PI = 1.57079632679
