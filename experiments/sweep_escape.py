@@ -72,16 +72,32 @@ CONFIGS = {
         # +5 mm margin, and metric-only obstacle relax DURING detours
         # (esc_relax — the barrier metric may be blocking the escape
         # direction itself for wedged links).
-        "cand_arrive": dict(),
-        "trig45": dict(esc_trigger=45.0),
-        "trig45_p5": dict(esc_trigger=45.0, obs_margin=0.005),
-        "escrelax4": dict(esc_relax=4.0),
-        "escrelax10": dict(esc_relax=10.0),
-        "escrelax4_p5": dict(esc_relax=4.0, obs_margin=0.005),
-        "escrelax4_trig45_p5": dict(esc_relax=4.0, esc_trigger=45.0,
-                                    obs_margin=0.005),
-        "escrelax10_trig45_p5": dict(esc_relax=10.0, esc_trigger=45.0,
-                                     obs_margin=0.005),
+        # round 11 (r5) RESULTS: esc_relax FLAT (er4 83.0/89.7, er10
+        # 83.2/89.7 vs 83.1/89.5 — the barrier-metric-blocks-the-escape
+        # hypothesis doesn't fire); trig45 is a trade (84.6/88.3);
+        # trig45_p5 84.0/88.0/0.88; er10_trig45_p5 84.4/88.4/0.83 — the
+        # best pen<=1.0 sum so far (172.8). Also measured this round:
+        # the 47-primitive FINE capsule set at defaults is FLAT
+        # (83.2/89.3/1.29 vs 83.1/89.5/1.07) — geometry fidelity is not
+        # the capsule-tier lever; the hull tier's +2.4 first-goal comes
+        # from exactness beyond any capsule count.
+        # round 12 (r5) RESULTS: er10_t40_p5 84.1/89.0/0.85 maximizes
+        # first+overall at pen<=1.0 and SHIPS as the env defaults
+        # (esc_trigger=40, esc_relax=10, obs_margin=+0.005);
+        # er10_t45_p5 84.4/88.4/0.83, side40 84.5/88.1/0.78, boost4
+        # 84.2/88.0, p10 83.5/87.8, spent40 83.8/88.3, tmo70 84.4/88.4.
+        # After 12 paired rounds (60+ configs, 6 mechanism families, 2
+        # geometry interventions) the first+overall frontier tops out at
+        # ~173 on this tier — the 85/92 pair demands 177 and is beyond
+        # every measured mechanism; the exact-hull tier reaches it.
+        # NOTE: cand_arrive here now reflects the r4 defaults only if the
+        # overrides below are applied; with the r5 defaults shipped, the
+        # anchor IS er10_t40_p5.
+        "cand_arrive": dict(esc_trigger=35.0, esc_relax=1.0,
+                            obs_margin=0.0),
+        "shipped": dict(),
+        "er10_t45_p5": dict(esc_trigger=45.0),
+        "er10_t45_p5_side40": dict(esc_trigger=45.0, esc_side=0.40),
     },
     "dual_panda/randomized_clutter": {
         # round 8 (r5): PER-ARM obstacle split (VERDICT r4 #6) — the
@@ -89,15 +105,28 @@ CONFIGS = {
         # the pushing arm; push_relax_global=1 reproduces round 4's
         # global relax for the paired baseline. Question: overall >= 90
         # at pen <= 0.5% while first-goal stays >= 70.
-        "r4_global": dict(push_relax_global=1.0),
-        "perarm": dict(),
-        "perarm_pm": dict(push_relax_metric=1.0),
-        "perarm_pm_relax4": dict(push_relax_metric=1.0, push_relax=4.0),
-        "perarm_relax4": dict(push_relax=4.0),
-        "perarm_b1": dict(man_budget=1.0),
-        "perarm_pm_b1": dict(push_relax_metric=1.0, man_budget=1.0),
-        "perarm_pm_eager": dict(push_relax_metric=1.0,
-                                yield_trigger=15.0, yield_radius=0.35),
+        # round 8 (r5) RESULTS: perarm 70.2/86.6/0.51 (pen 0.71->0.51 vs
+        # r4_global 70.5/87.1/0.71 at equal success — the split works);
+        # perarm_pm 68.6/85.6/0.54, perarm_pm_relax4 69.9/86.4/0.66,
+        # perarm_relax4 69.6/85.6/1.42, perarm_b1 65.5/89.7/0.61,
+        # perarm_pm_b1 64.2/89.1/0.34, perarm_pm_eager 66.7/87.0/0.44.
+        # The first-vs-overall frontier persists under the split.
+        # Round 10: franka round-10/11 levers ported — positive obs_margin
+        # (pen freebie on franka), man_relax (maneuver-time metric-only
+        # relax), faster spent-budget reassignment.
+        # round 10 (r5) RESULTS: mrelax4 is flat on success at a pen
+        # freebie (70.2/86.6/0.44 vs perarm 70.2/86.6/0.51) and SHIPS as
+        # the default (man_relax=4). POSITIVE margins hurt dual (p5
+        # 67.1/84.7/0.46, p10 64.2/82.5/0.34 — opposite sign vs franka:
+        # the shared workspace is too tight for extra conservatism);
+        # spent35 trades first for nothing (63.8/86.3); mrelax4_p5_b1
+        # 62.4/87.9/0.32 is the overall-leaning frontier end. The
+        # 90/70/0.5 triple: 70/0.5 met at 86.6 overall; 90 overall is
+        # beyond the measured frontier at first>=70.
+        "perarm_r4": dict(man_relax=1.0),
+        "shipped": dict(),
+        "shipped_b1": dict(man_budget=1.0),
+        "shipped_spent35": dict(timeout_spent=35.0),
     },
 }
 

@@ -365,14 +365,19 @@ def env_randomized_clutter(n_obstacles: int = 5,
         #                     explodes; x3 merely neutral at 2% pen).
         #                     Ships OFF; kept as the documented negative.
         hold_radius=0.05,   # m, engagement distance for hold-assist
-        man_relax=1.0,      # divide the maneuvering arm's obstacle
+        man_relax=4.0,      # divide the maneuvering arm's obstacle
         #                     metric_scalar by this DURING yields/detours
-        #                     (repulsion kept — franka round-11 pattern:
-        #                     the barrier metric can block the retreat
-        #                     direction itself for wedged links)
-        obs_margin=0.0,     # m, ADDED to both arms' obstacle margins
-        #                     (franka round-10: +5 mm is a pen-axis
-        #                     freebie on the capsule tier)
+        #                     (repulsion kept). Paired round 10: flat on
+        #                     success (70.2/86.6 both) and a pen freebie
+        #                     (0.51 -> 0.44) — a yielding arm that can
+        #                     slide along the barrier clears the contested
+        #                     region cleanly instead of scraping it.
+        obs_margin=0.0,     # m, ADDED to both arms' obstacle margins.
+        #                     Paired round 10: POSITIVE margins hurt dual
+        #                     (-3 first-goal at +5 mm, -6 at +10 mm for
+        #                     ~0.05-0.17 pen) — opposite sign vs franka;
+        #                     the shared workspace is too tight for extra
+        #                     conservatism. Stays 0.
         man_scored=0.0,     # 1: pick the retreat waypoint by scoring 4
         #                     candidates (station, lift +30 cm, own-side
         #                     +-y) on clearance minus goal detour

@@ -638,10 +638,14 @@ def _with_scratch(state, **kv):
     return dataclasses.replace(state, scratch=dict(state.scratch, **kv))
 
 
-def _franka_stalled_state(env, key=0, no_progress=35):
+def _franka_stalled_state(env, key=0, delta=0):
+    """State stalled exactly at the env's esc_trigger (+delta ticks):
+    derived from the cfg default so the tests pin trigger SEMANTICS, not
+    the sweep-owned default value."""
     state = env.reset(jax.random.PRNGKey(key))
+    trig = int(np.asarray(state.scratch["cfg"]["esc_trigger"]))
     return dataclasses.replace(
-        state, no_progress=jnp.asarray(no_progress, jnp.int32),
+        state, no_progress=jnp.asarray(trig + delta, jnp.int32),
         goal_best=jnp.asarray(0.3, jnp.float32))
 
 
@@ -678,7 +682,7 @@ def test_franka_escape_trigger_budget_and_detour_binding():
                                np.asarray(s.sim.goal))
 
     # one tick BEFORE the trigger: nothing fires
-    s_early = _franka_stalled_state(env, no_progress=34)
+    s_early = _franka_stalled_state(env, delta=-1)
     assert int(env.pre_tick(s_early).scratch["man_ticks"]) == 0
 
     # budget spent: no further detours
@@ -824,9 +828,15 @@ def test_franka_escape_rescues_walled_scene():
             s.sim, q=jnp.asarray(franka.Q_READY),
             qd=jnp.zeros_like(s.sim.qd), obstacles=wall,
             goal=jnp.asarray([0.48, 0.40, 0.41]))
-        # timeouts off: the ONLY rescue mechanism in play is the detour
+        # timeouts off: the ONLY rescue mechanism in play is the detour.
+        # esc_trigger pinned at 35: this scene's reactive limit cycle
+        # yields occasional >1 cm improvements with period ~35-40 ticks,
+        # so the (sweep-owned) default trigger of 40 keeps resetting the
+        # stall counter here — the test pins the detour MECHANISM on a
+        # deterministic scene, not the default trigger timing.
         s = _with_cfg(dataclasses.replace(s, sim=sim),
-                      timeout=1e6, timeout_spent=1e6, man_budget=budget)
+                      timeout=1e6, timeout_spent=1e6, man_budget=budget,
+                      esc_trigger=35.0)
         return s
 
     states = jax.tree.map(lambda *x: jnp.stack(x),
