@@ -88,11 +88,17 @@ def run_one(env_name: str, iters: int, batch: int, ticks: int,
     # policy-output error the distance error actually induces, the
     # quantity the banded distance tails only proxy.
     _, _, _ = probe(states)                  # trace probe with `iters`
+    # the env-level pin OVERRIDES the env var inside the control step
+    # (envs/base.py passes iters=env.hull_warm_iters), so the cold trace
+    # must raise BOTH — leaving hull_warm_iters at `iters` here silently
+    # traced an identical step and reported qdd_abs_err == 0 exactly
     os.environ["RMP_GJK_ITERS"] = "10"
+    env.hull_warm_iters = 10
     step_cold_qdd = jax.jit(
         lambda s: eb.make_batched_control_step(env)(s, params)[1]["qdd"])
     _ = step_cold_qdd(states)                # trace with 10
     os.environ["RMP_GJK_ITERS"] = str(iters)
+    env.hull_warm_iters = iters
 
     per_tick = []
     qdd_err_max = qdd_err_p99 = qdd_rms = 0.0

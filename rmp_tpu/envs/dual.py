@@ -643,5 +643,8 @@ def env_randomized_clutter(n_obstacles: int = 5,
               goal_distance_fn=goal_distance_fn, context_fn=context_fn,
               on_solved=on_solved, stuck_fn=stuck_fn, pre_tick=pre_tick,
               enforce_velocity_limits=True, max_qdd=100.0,
+              # same fast-motion warm-accuracy rationale as franka/
+              # randomized_cluttered (gjk_warm_accuracy.json, r5)
+              hull_warm_iters=8,
               resolve_method="solve")
     return env

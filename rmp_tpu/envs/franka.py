@@ -740,6 +740,12 @@ def env_randomized_cluttered(n_obstacles: int = 7,
                policies=policies, reset=reset, ee_frame=model.frame_index(EE),
                bind_params=bind, on_solved=on_solved,
                stuck_fn=stuck_fn, pre_tick=pre_tick, max_qdd=100.0,
+               # hull tier: fast randomized motion invalidates the 4-iter
+               # warm carry (close-band |d| p99 27.5 mm, qdd p99 29% of
+               # cold RMS); 8 iters restores 1.4 mm / 0.7%
+               # (reports/gjk_warm_accuracy.json, r5 probe). The slow
+               # flagship keeps the global 4-iter default.
+               hull_warm_iters=8,
                resolve_method="solve")
 
 
