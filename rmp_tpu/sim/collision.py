@@ -14,8 +14,14 @@ p.getClosestPoints) with two interchangeable link geometries:
     0.12 mm / max 1.1 mm; hull-vs-true-mesh obstacle-distance error is
     mean 0.1 mm / overestimate p99 0.8 mm / max 1.3 cm over, 6.3 cm
     under (decimation fidelity); the TPU rollout path's temporal warm
-    start adds its own banded error, certified at the rollout level in
-    reports/gjk_warm_accuracy.json (see distance_context_batched).
+    start adds its own banded error, certified at the rollout level PER
+    TRAJECTORY CLASS in reports/gjk_warm_accuracy.json (r5 probe, incl.
+    direct policy impact |qdd_warm - qdd_cold|): the slow flagship at
+    the global 4-iter warm default holds sub-mm median-tick p99 with
+    qdd p99 ~4% of the cold policy's RMS; FAST-MOTION randomized scenes
+    at 4 iters leave 27.5 mm close-band p99 (qdd p99 29% of RMS), so
+    franka/randomized_cluttered and dual_panda/randomized_clutter pin
+    Env.hull_warm_iters=8 (1.4 mm / 0.7%).
     ~6x the end-to-end rollout cost of the capsule mode, still well
     above 1M steps/s/chip.
 

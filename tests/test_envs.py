@@ -765,6 +765,79 @@ def test_franka_push_engages_at_near_stall_and_relaxes_obstacles():
                                float(params[i_obs]["repulsion_gain"]))
 
 
+def test_franka_obs_margin_and_detour_metric_relax_binding():
+    """r5 knobs: obs_margin is ADDED to the obstacle policy's margin in
+    every binding, and esc_relax divides its metric_scalar (repulsion
+    kept) only WHILE a detour runs."""
+    from rmp_tpu.envs import franka
+
+    env = franka.env_randomized_cluttered(5)
+    params = env.gather_params()
+    names = [p.name for p in env.policies]
+    i_obs = names.index("collision_avoidance")
+
+    s = env.reset(jax.random.PRNGKey(0))
+    cfg = s.scratch["cfg"]
+    np.testing.assert_allclose(float(cfg["obs_margin"]), 0.005,
+                               rtol=1e-6)             # shipped default
+    bound = env.bind_params(params, s.sim, env.policies, s)
+    np.testing.assert_allclose(
+        float(bound[i_obs]["margin"]),
+        float(params[i_obs]["margin"]) + float(cfg["obs_margin"]))
+    # no detour in flight: metric at full strength
+    np.testing.assert_allclose(float(bound[i_obs]["metric_scalar"]),
+                               float(params[i_obs]["metric_scalar"]))
+    # mid-detour: metric_scalar / esc_relax, repulsion untouched
+    mid = _with_scratch(s, man_ticks=jnp.asarray(10, jnp.int32))
+    bound_mid = env.bind_params(params, mid.sim, env.policies, mid)
+    np.testing.assert_allclose(
+        float(bound_mid[i_obs]["metric_scalar"]),
+        float(params[i_obs]["metric_scalar"]) / float(cfg["esc_relax"]))
+    np.testing.assert_allclose(float(bound_mid[i_obs]["repulsion_gain"]),
+                               float(params[i_obs]["repulsion_gain"]))
+
+
+def test_dual_man_relax_applies_to_maneuvering_arm_only():
+    """r5 knob: man_relax divides ONLY the maneuvering arm's obstacle
+    metric_scalar (per-arm split policies); obs_margin (default 0 on
+    dual) broadcasts to both arms' margins."""
+    from rmp_tpu.envs import dual
+
+    env = dual.env_randomized_clutter(3)
+    params = env.gather_params()
+    names = [p.name for p in env.policies]
+    iL = names.index("collision_avoidance_L")
+    iR = names.index("collision_avoidance_R")
+
+    s = env.reset(jax.random.PRNGKey(0))
+    cfg = s.scratch["cfg"]
+    assert float(cfg["man_relax"]) == 4.0             # shipped default
+    assert float(cfg["obs_margin"]) == 0.0
+    # left arm mid-maneuver, right arm free
+    sc = dict(s.scratch, man_ticks=jnp.asarray([10, 0], jnp.int32))
+    mid = dataclasses.replace(s, scratch=sc)
+    bound = env.bind_params(params, mid.sim, env.policies, mid)
+    np.testing.assert_allclose(
+        float(bound[iL]["metric_scalar"]),
+        float(params[iL]["metric_scalar"]) / float(cfg["man_relax"]))
+    np.testing.assert_allclose(float(bound[iR]["metric_scalar"]),
+                               float(params[iR]["metric_scalar"]))
+    np.testing.assert_allclose(float(bound[iL]["repulsion_gain"]),
+                               float(params[iL]["repulsion_gain"]))
+
+
+def test_randomized_envs_pin_hull_warm_iters():
+    """The fast-motion randomized envs pin 8 warm GJK iterations (the
+    4-iter default leaves 27.5 mm close-band p99 there —
+    reports/gjk_warm_accuracy.json); the slow flagship keeps the global
+    default (None -> RMP_GJK_ITERS)."""
+    from rmp_tpu.envs import dual, franka
+
+    assert franka.env_randomized_cluttered(3).hull_warm_iters == 8
+    assert dual.env_randomized_clutter(3).hull_warm_iters == 8
+    assert franka.env_06_cluttered_environment().hull_warm_iters is None
+
+
 def test_franka_goal_event_resets_escape_budget():
     """on_solved (solve or timeout resample): fresh goal, fresh escape
     budget, any in-flight detour cancelled."""
