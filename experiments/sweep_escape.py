@@ -93,11 +93,26 @@ CONFIGS = {
         # NOTE: cand_arrive here now reflects the r4 defaults only if the
         # overrides below are applied; with the r5 defaults shipped, the
         # anchor IS er10_t40_p5.
+        # round 13 (r5) RESULTS: late-goal escapes are no longer the r4
+        # disaster (allgoals_b2 84.1/88.8 vs shipped 84.1/89.0 — the
+        # arrival-ended detours made them ~free) and a SHARED single
+        # budget lifts overall at first-goal cost (allgoals_b1 79.9/91.5/
+        # 0.76 — the budget starves the first goal). Trigger dial is flat
+        # (t38 83.3/89.0, t42 84.1/89.2). Round 14: SPLIT budgets —
+        # man_budget_late gives keep-busy goals their own allowance while
+        # the first goal keeps its full 2.
+        # round 14 (r5) RESULTS — split budgets are FLAT: late1/late2
+        # 84.1/88.8 vs shipped 84.1/89.0 (late1_spent40 83.2/89.2,
+        # late1_t42 84.1/89.1). Late-goal escapes CREATE nothing; round
+        # 13's allgoals_b1 overall lift (91.5) came from the first goal
+        # having only ONE detour — i.e. spending less horizon on it —
+        # not from late rescues. Fixed-horizon time reallocation,
+        # exactly the frontier. man_budget_late stays a knob, default 0.
         "cand_arrive": dict(esc_trigger=35.0, esc_relax=1.0,
                             obs_margin=0.0),
         "shipped": dict(),
-        "er10_t45_p5": dict(esc_trigger=45.0),
-        "er10_t45_p5_side40": dict(esc_trigger=45.0, esc_side=0.40),
+        "first_b1": dict(man_budget=1.0),
+        "late1": dict(man_budget_late=1.0),
     },
     "dual_panda/randomized_clutter": {
         # round 8 (r5): PER-ARM obstacle split (VERDICT r4 #6) — the

@@ -330,6 +330,9 @@ def env_randomized_clutter(n_obstacles: int = 5,
         #                     maneuvers reset the stall window, so without
         #                     this the reassignment that rescues OVERALL
         #                     success gets pushed out by hundreds of ticks)
+        man_budget_late=0.0,  # maneuver budget per arm per KEEP-BUSY goal
+        #                     when man_first_only=1 (0 = old hard gate;
+        #                     franka round-13 split-budget pattern)
         man_budget=2.0,     # maneuvers per arm per goal; then timeout rules
         hold_tol=0.035,     # arms parked within this of goal never stall.
         #                     Must sit just ABOVE solved_tol (0.03): wider
@@ -584,7 +587,9 @@ def env_randomized_clutter(n_obstacles: int = 5,
         # pre-r4 joint resample threw away the healthy arm's goal (and all
         # its progress) whenever the OTHER arm timed out.
         sc = state.scratch
-        timed_out = sc["noprog"] >= _arm_timeout(sc)         # (2,)
+        timed_out = (sc["noprog"]
+                     >= mv.spent_timeout(sc["cfg"], sc["man_count"],
+                                         state.phase))       # (2,)
         both = ~jnp.any(timed_out)                   # solved / backstop
         resample = timed_out | both
         k, sub = jax.random.split(state.key)
@@ -600,16 +605,14 @@ def env_randomized_clutter(n_obstacles: int = 5,
         return dataclasses.replace(state, sim=sim, key=k,
                                    phase=state.steps, scratch=scratch)
 
-    def _arm_timeout(sc):
-        # per-arm window: the full timeout while maneuvers remain, the
-        # fast one once the arm's budget is spent (maneuver.spent_timeout)
-        return mv.spent_timeout(sc["cfg"], sc["man_count"])
-
     def stuck_fn(state: EnvState):
         sc = state.scratch
-        # per-arm timeouts + a global backstop (e.g. an arm hovering just
-        # outside hold_tol forever is invisible to the per-arm windows)
-        return (jnp.any(sc["noprog"] >= _arm_timeout(sc))
+        # per-arm window: the full timeout while maneuvers remain, the
+        # fast one once the arm's PHASE budget is spent; plus a global
+        # backstop (e.g. an arm hovering just outside hold_tol forever is
+        # invisible to the per-arm windows)
+        window = mv.spent_timeout(sc["cfg"], sc["man_count"], state.phase)
+        return (jnp.any(sc["noprog"] >= window)
                 | (state.no_progress >= 120))
 
     space = rnd.RobotSampleSpace(

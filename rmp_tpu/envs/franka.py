@@ -406,8 +406,18 @@ def env_randomized_cluttered(n_obstacles: int = 7,
         man_ticks=22.0,    # detour duration (counter frozen meanwhile)
         man_budget=2.0,    # detours; FIRST GOAL ONLY by default (below)
         man_first_only=1.0,  # maneuvers only before the first goal event
-        #                    (escapes on keep-busy goals paired-measured
-        #                    net-negative: overall 92.9% -> 84%)
+        #                    (r4's timer-parked detours on keep-busy goals
+        #                    measured overall 92.9% -> 84%; with r5's
+        #                    arrival-ended detours the same experiment is
+        #                    ~neutral — round 13: allgoals_b2 84.1/88.8 vs
+        #                    shipped 84.1/89.0 — so late escapes are gated
+        #                    by the dedicated budget below instead)
+        man_budget_late=0.0,  # detour budget per KEEP-BUSY goal when
+        #                    man_first_only=1 (0 = the old hard gate).
+        #                    Splitting the budget exists because one
+        #                    shared budget starves the first goal (round
+        #                    13: allgoals_b1 79.9/91.5 — +2.5 overall for
+        #                    -4.2 first).
         esc_back=0.15,     # m, retreat component (away from the goal)
         esc_side=0.30,     # m, sideways component (new approach side)
         esc_axis1=1.0,     # detour 1 slides along the blocking cylinder's
@@ -721,7 +731,8 @@ def env_randomized_cluttered(n_obstacles: int = 7,
     def stuck_fn(state: EnvState):
         return (state.no_progress
                 >= mv.spent_timeout(state.scratch["cfg"],
-                                    state.scratch["man_count"]))
+                                    state.scratch["man_count"],
+                                    state.phase))
 
     def reset(key):
         k_obs, k_robot, k_goal, k_carry = jax.random.split(key, 4)

@@ -87,10 +87,18 @@ def score_candidates(cands, goal: Array, clearance_fn,
 
 
 def budget_free(cfg: dict, timer: Array, count: Array, phase: Array) -> Array:
-    """True where a new maneuver may fire: no maneuver in flight, budget
-    remaining, and (when man_first_only) no goal event yet this episode."""
-    return ((timer == 0) & (count < cfg["man_budget"])
-            & ((cfg["man_first_only"] < 0.5) | (phase == 0)))
+    """True where a new maneuver may fire: no maneuver in flight and budget
+    remaining. The budget is PER GOAL PHASE (count resets on goal events):
+    `man_budget` before the first goal event (phase == 0), and afterwards
+    `man_budget_late` when man_first_only is set (0 = the old hard gate)
+    or the full `man_budget` when it isn't. The split exists because the
+    r5 round-13 sweep showed late-goal escapes are ~free with arrival-
+    ended detours (r4's -8.9 overall was the old timer-parked detours),
+    but sharing ONE budget across all goals starves the first goal."""
+    late = jnp.where(cfg["man_first_only"] > 0.5,
+                     cfg.get("man_budget_late", 0.0), cfg["man_budget"])
+    allowed = jnp.where(phase == 0, cfg["man_budget"], late)
+    return (timer == 0) & (count < allowed)
 
 
 def maneuver_timers(cfg: dict, timer: Array, count: Array, trigger: Array,
@@ -112,12 +120,19 @@ def maneuver_timers(cfg: dict, timer: Array, count: Array, trigger: Array,
     return timer_next, count_next, wp_next
 
 
-def spent_timeout(cfg: dict, count: Array) -> Array:
+def spent_timeout(cfg: dict, count: Array, phase: Array | None = None) -> Array:
     """Per-goal stall window: the full `timeout` while maneuvers remain,
-    `timeout_spent` once the budget is used up (a goal that survived every
-    maneuver is hopeless — don't also make it wait out the full window).
-    man_budget=0 disables maneuvers and must NOT count as pre-spent."""
-    spent = (cfg["man_budget"] > 0) & (count >= cfg["man_budget"])
+    `timeout_spent` once the phase's budget is used up (a goal that
+    survived every maneuver is hopeless — don't also make it wait out the
+    full window). A zero budget (maneuvers disabled for the phase) must
+    NOT count as pre-spent. `phase` selects the late budget after the
+    first goal event (None keeps the pre-r5.13 first-goal-only shape)."""
+    allowed = cfg["man_budget"]
+    if phase is not None:
+        late = jnp.where(cfg["man_first_only"] > 0.5,
+                         cfg.get("man_budget_late", 0.0), cfg["man_budget"])
+        allowed = jnp.where(phase == 0, cfg["man_budget"], late)
+    spent = (allowed > 0) & (count >= allowed)
     return jnp.where(spent, cfg["timeout_spent"], cfg["timeout"])
 
 

@@ -201,3 +201,38 @@ def test_ur5_hull_mode():
         free = dh > 1e-3                     # outside the hybrid handoff
         assert (dh[free] >= dc[free] - 1e-4).all()      # inner approx
         assert (dh[free] - dc[free] <= 2.5e-3).all()    # deviation bound
+
+
+def test_fine_capsule_spec_builds_and_stays_close():
+    """The opt-in 47-primitive FINE table (specs.with_fine_capsules /
+    RMP_PANDA_CAPS=fine) builds a working model whose obstacle distances
+    track the default 25-primitive set within the fit tolerances (both
+    approximate the same meshes; measured behavior-flat at defaults —
+    DESIGN.md §12)."""
+    from rmp_tpu.models import robots
+    from rmp_tpu.models.specs import (PANDA_SPEC, build_model,
+                                      with_fine_capsules)
+
+    fine = build_model(with_fine_capsules(PANDA_SPEC))
+    coarse = robots.franka_panda()
+    n_fine = sum(len(fine.collision[i]) for i in fine.collision_frames)
+    n_coarse = sum(len(coarse.collision[i])
+                   for i in coarse.collision_frames)
+    assert n_fine == 47 and n_coarse == 25
+    assert fine.collision_frames == coarse.collision_frames
+
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        q = jnp.asarray(rng.uniform(-1.5, 1.5, coarse.n_q), jnp.float32)
+        c = np.asarray([0.5, 0.1, 0.5]) + rng.uniform(-0.2, 0.2, 3)
+        obs = C.ObstacleSet(jnp.asarray([c], jnp.float32),
+                            jnp.asarray([c + np.asarray([0, 0, 0.4])],
+                                        jnp.float32),
+                            jnp.asarray([0.06], jnp.float32))
+        df = C.robot_obstacle_distances(
+            fine, K.fk_all(fine, q), obs)[3]
+        dc = C.robot_obstacle_distances(
+            coarse, K.fk_all(coarse, q), obs)[3]
+        # per-frame closest distances agree within the two fits' combined
+        # padding/protrusion envelope (~2 cm)
+        assert np.abs(np.asarray(df) - np.asarray(dc)).max() < 0.025

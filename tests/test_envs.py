@@ -696,9 +696,17 @@ def test_franka_escape_trigger_budget_and_detour_binding():
     assert int(env.pre_tick(s_b0).scratch["man_ticks"]) == 0
 
     # keep-busy goals (phase != 0, i.e. after a goal event) never detour
+    # at the default man_budget_late=0...
     s_late = dataclasses.replace(_franka_stalled_state(env),
                                  phase=jnp.asarray(7, jnp.int32))
     assert int(env.pre_tick(s_late).scratch["man_ticks"]) == 0
+    # ...but the split budget (r5 round 13/14) gives them their own
+    # allowance without touching the first goal's
+    s_late1 = _with_cfg(s_late, man_budget_late=1.0)
+    assert int(env.pre_tick(s_late1).scratch["man_ticks"]) > 0
+    s_late_spent = _with_scratch(s_late1,
+                                 man_count=jnp.asarray(1, jnp.int32))
+    assert int(env.pre_tick(s_late_spent).scratch["man_ticks"]) == 0
 
 
 def test_franka_escape_ends_on_arrival():
