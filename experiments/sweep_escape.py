@@ -138,6 +138,12 @@ CONFIGS = {
         # 62.4/87.9/0.32 is the overall-leaning frontier end. The
         # 90/70/0.5 triple: 70/0.5 met at 86.6 overall; 90 overall is
         # beyond the measured frontier at first>=70.
+        # round 11 (r5) RESULTS — late-goal yield budgets are NEGATIVE on
+        # dual too (late1 70.2/84.4, late2 70.2/83.0 vs shipped
+        # 70.2/86.3-86.6): late maneuvers DELAY the per-arm timeout
+        # reassignments that actually rescue overall (freeze_progress
+        # resets the stall window every maneuver). The late-budget family
+        # is closed on both envs; shipped defaults final.
         "perarm_r4": dict(man_relax=1.0),
         "shipped": dict(),
         "shipped_b1": dict(man_budget=1.0),

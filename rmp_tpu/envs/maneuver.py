@@ -132,7 +132,12 @@ def spent_timeout(cfg: dict, count: Array, phase: Array | None = None) -> Array:
         late = jnp.where(cfg["man_first_only"] > 0.5,
                          cfg.get("man_budget_late", 0.0), cfg["man_budget"])
         allowed = jnp.where(phase == 0, cfg["man_budget"], late)
-    spent = (allowed > 0) & (count >= allowed)
+    # a phase with maneuvers DISABLED (allowed == 0) keeps the old
+    # count >= man_budget rule: an arm that spent its budget earlier and
+    # was never resampled still deserves the fast window (the certified
+    # r5 defaults were measured under this semantics)
+    thresh = jnp.where(allowed > 0, allowed, cfg["man_budget"])
+    spent = (cfg["man_budget"] > 0) & (count >= thresh)
     return jnp.where(spent, cfg["timeout_spent"], cfg["timeout"])
 
 
